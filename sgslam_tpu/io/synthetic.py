@@ -1,0 +1,184 @@
+"""Procedural synthetic RGB-D sequence renderer with exact ground truth.
+
+The reference validates only end-to-end on TUM/Bonn sequences (SURVEY.md §4);
+we additionally need hermetic, dataset-free fixtures. This module renders a
+room-like scene (textured wall + floor + side wall) and an optional moving
+"dynamic object" quad (a stand-in for the walking people of fr3/walking_*),
+from analytic plane geometry — so every frame has exact pose and depth ground
+truth, and the renderer itself is a jittable JAX program (runs on TPU).
+
+Rendering model: per-pixel ray casting against N planes; texture is a
+procedural multi-scale random-checker field (sharp square corners -> rich FAST
+response). No stored assets, fully deterministic from a seed.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..geometry import se3
+from ..geometry.camera import Camera
+
+
+def _cell_hash(ix, iy, seed):
+    """Deterministic pseudo-random value in [0,1) per integer cell."""
+    h = jnp.sin(ix * 127.1 + iy * 311.7 + seed * 74.7) * 43758.5453
+    return h - jnp.floor(h)
+
+
+def texture(x, y, seed: float = 0.0):
+    """Multi-scale random-checker texture in [0,1]; sharp cell edges."""
+    v = 0.0
+    for k, cell in enumerate((0.40, 0.17, 0.07)):
+        ix = jnp.floor(x / cell)
+        iy = jnp.floor(y / cell)
+        v = v + _cell_hash(ix, iy, seed + k) * (0.5 ** k)
+    v = v / (1.0 + 0.5 + 0.25)
+    # contrast stretch: strong cell-edge steps -> rich FAST response
+    return jnp.clip(1.8 * (v - 0.5) + 0.5, 0.0, 1.0)
+
+
+@dataclasses.dataclass(frozen=True)
+class Plane:
+    """n . x = d, textured by (x,y) coords in an in-plane basis."""
+
+    nx: float
+    ny: float
+    nz: float
+    d: float
+    tex_seed: float
+
+
+# A simple "room": back wall, floor, left wall.
+ROOM = (
+    Plane(0.0, 0.0, -1.0, -3.5, 1.0),   # back wall at z=3.5 (facing camera)
+    Plane(0.0, -1.0, 0.0, -1.0, 2.0),   # floor at y=+1.0 (camera y points down)
+    Plane(1.0, 0.0, 0.0, -2.0, 3.0),    # left wall at x=-2.0
+)
+
+
+def _plane_basis(n):
+    """Two in-plane axes for texture coordinates."""
+    a = jnp.where(jnp.abs(n[0]) < 0.9, jnp.array([1.0, 0.0, 0.0]),
+                  jnp.array([0.0, 1.0, 0.0]))
+    u = jnp.cross(n, a)
+    u = u / jnp.linalg.norm(u)
+    v = jnp.cross(n, u)
+    return u, v
+
+
+@partial(jax.jit, static_argnums=(0,))
+def render_frame(cam: Camera, T_wc, obj_center=None, obj_half: float = 0.35,
+                 obj_depth_ofs: float = 1.2):
+    """Render one RGB-D frame.
+
+    Args:
+      cam: static camera intrinsics.
+      T_wc: [7] camera-to-world pose (camera center = t part).
+      obj_center: optional [3] world position of a dynamic textured quad
+        (normal facing +z_w, half-size obj_half). None disables it.
+    Returns:
+      gray [H,W] float32 in [0,1], depth [H,W] float32 meters (0 = invalid).
+    """
+    H, W = cam.height, cam.width
+    uu = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)
+    vv = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, axis=1)
+    # unit-z ray dirs in camera frame
+    dx = (uu - cam.cx) / cam.fx
+    dy = (vv - cam.cy) / cam.fy
+    d_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)  # [H,W,3]
+
+    q_wc = T_wc[:4]
+    o = T_wc[4:7]
+    d_w = se3.quat_rotate(q_wc[None, None, :], d_cam)
+
+    best_t = jnp.full((H, W), jnp.inf)
+    best_col = jnp.zeros((H, W))
+
+    for pl in ROOM:
+        n = jnp.array([pl.nx, pl.ny, pl.nz])
+        denom = jnp.einsum("hwc,c->hw", d_w, n)
+        t = (pl.d - jnp.dot(n, o)) / jnp.where(jnp.abs(denom) < 1e-6,
+                                               jnp.inf, denom)
+        hit = t > 0.05
+        p = o[None, None, :] + t[..., None] * d_w
+        u_ax, v_ax = _plane_basis(n)
+        tx = jnp.einsum("hwc,c->hw", p, u_ax)
+        ty = jnp.einsum("hwc,c->hw", p, v_ax)
+        col = texture(tx, ty, pl.tex_seed)
+        closer = hit & (t < best_t)
+        best_t = jnp.where(closer, t, best_t)
+        best_col = jnp.where(closer, col, best_col)
+
+    if obj_center is not None:
+        # dynamic quad: axis-aligned, at z = obj_center_z, facing the camera
+        n = jnp.array([0.0, 0.0, -1.0])
+        plane_d = -obj_center[2]
+        denom = jnp.einsum("hwc,c->hw", d_w, n)
+        t = (plane_d - jnp.dot(n, o)) / jnp.where(jnp.abs(denom) < 1e-6,
+                                                  jnp.inf, denom)
+        p = o[None, None, :] + t[..., None] * d_w
+        inside = ((jnp.abs(p[..., 0] - obj_center[0]) < obj_half)
+                  & (jnp.abs(p[..., 1] - obj_center[1]) < obj_half * obj_depth_ofs)
+                  & (t > 0.05))
+        col = texture(p[..., 0] - obj_center[0], p[..., 1] - obj_center[1],
+                      seed=9.0)
+        closer = inside & (t < best_t)
+        best_t = jnp.where(closer, t, best_t)
+        best_col = jnp.where(closer, col, best_col)
+
+    depth = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
+    return best_col.astype(jnp.float32), depth.astype(jnp.float32)
+
+
+def make_trajectory(n_frames: int, dtype=jnp.float32):
+    """Smooth sinusoidal camera walk (T_wc per frame), [N,7]."""
+    s = jnp.linspace(0.0, 1.0, n_frames, dtype=dtype)
+    tx = 0.6 * jnp.sin(2 * jnp.pi * s)
+    ty = 0.15 * jnp.sin(4 * jnp.pi * s + 1.0)
+    tz = 0.3 * jnp.sin(2 * jnp.pi * s + 0.5)
+    wy = 0.10 * jnp.sin(2 * jnp.pi * s)        # yaw
+    wx = 0.05 * jnp.sin(4 * jnp.pi * s + 0.3)  # pitch
+    xi = jnp.stack([tx, ty, tz,
+                    wx, wy, jnp.zeros_like(s)], axis=-1)
+    return jax.vmap(se3.se3_exp)(xi)
+
+
+def object_track(n_frames: int, dtype=jnp.float32):
+    """World path of the dynamic quad: strafes left-right in front of wall."""
+    s = jnp.linspace(0.0, 1.0, n_frames, dtype=dtype)
+    cx = 0.9 * jnp.sin(2 * jnp.pi * s * 1.5)
+    cy = 0.1 * jnp.ones_like(s)
+    cz = 2.4 * jnp.ones_like(s)
+    return jnp.stack([cx, cy, cz], axis=-1)
+
+
+class SyntheticSequence:
+    """Host-side iterator mimicking a dataset: (gray, depth, gt_T_wc)."""
+
+    def __init__(self, cam: Camera, n_frames: int = 60, dynamic: bool = False):
+        self.cam = cam
+        self.n_frames = n_frames
+        self.dynamic = dynamic
+        self.poses = make_trajectory(n_frames)      # T_wc (camera-to-world)
+        self.obj = object_track(n_frames) if dynamic else None
+        self.timestamps = np.arange(n_frames, dtype=np.float64) / 30.0
+
+    def __len__(self):
+        return self.n_frames
+
+    def frame(self, i: int):
+        obj_c = self.obj[i] if self.dynamic else None
+        gray, depth = render_frame(self.cam, self.poses[i], obj_c)
+        return gray, depth
+
+    def gt_pose_wc(self, i: int):
+        return self.poses[i]
+
+    def gt_pose_cw(self, i: int):
+        return se3.se3_inverse(self.poses[i])
