@@ -202,7 +202,13 @@ def bonn_config(**over) -> SlamConfig:
 
 
 def synthetic_config(width: int = 640, height: int = 480, **over) -> SlamConfig:
-    """Config for the synthetic RGB-D renderer used by tests/bench."""
-    cam = Camera(fx=525.0, fy=525.0, cx=width / 2 - 0.5, cy=height / 2 - 0.5,
-                 bf=40.0, width=width, height=height)
+    """Config for the synthetic RGB-D renderer used by tests/bench.
+
+    The synthetic room's far wall sits at 3.5 m, past the TUM close-depth
+    cutoff (~3 m), so raise ThDepth to treat the whole room as close range.
+    """
+    f = 525.0 * width / 640.0  # keep the Kinect FOV at any resolution
+    cam = Camera(fx=f, fy=f, cx=width / 2 - 0.5, cy=height / 2 - 0.5,
+                 bf=40.0 * width / 640.0, width=width, height=height)
+    over.setdefault("tracker", TrackerConfig(depth_threshold_factor=70.0))
     return SlamConfig(camera=cam, depth_map_factor=1.0, **over)

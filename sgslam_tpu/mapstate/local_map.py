@@ -37,7 +37,8 @@ class LocalPoints:
     valid: jax.Array      # [L] bool
 
 
-@partial(jax.jit, static_argnums=(0,), static_argnames=("capacity",))
+@partial(jax.jit, static_argnums=(0,),
+         static_argnames=("capacity", "scale_factor"))
 def select_local_points(cam: Camera, m: MapState, Tcw,
                         scale_factor: float = 1.2,
                         capacity: int = 4096) -> LocalPoints:

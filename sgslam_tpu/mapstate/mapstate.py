@@ -158,14 +158,17 @@ def insert_keyframe(cam, scale_factor: float, m: MapState, feats: Features,
 
     k = m.next_kf  # sequential KF slots (culling clears validity only)
 
-    # ---- new map points from unmatched close features
+    # ---- new map points from unmatched features with depth
     unmatched = (matched_point_ids == NO_POINT) & feats.valid
-    close = (feats.depth > 0) & (feats.depth < close_depth)
-    cand = unmatched & close
-    # nearest-first priority (reference sorts by depth, takes >=100)
+    cand = unmatched & (feats.depth > 0)
+    # nearest-first priority; keep all close points, and far ones until the
+    # first 100 slots are filled (CreateNewKeyFrame loop, Tracking.cc:1224-44:
+    # `if z < thDepth || nPoints < 100`)
     prio = jnp.where(cand, -feats.depth, -jnp.inf)
     top_prio, top_slot = jax.lax.top_k(prio, max_new_points)
-    new_ok = jnp.isfinite(top_prio)
+    is_close = -top_prio < close_depth
+    rank = jnp.arange(max_new_points)
+    new_ok = jnp.isfinite(top_prio) & (is_close | (rank < 100))
     new_ids = m.next_pt + jnp.cumsum(new_ok.astype(jnp.int32)) - 1
     new_ok = new_ok & (new_ids < m.max_pt)
     new_ids = jnp.where(new_ok, new_ids, m.max_pt)  # spare row for drops

@@ -1,0 +1,229 @@
+"""The per-frame tracking pipeline as one fused jitted step.
+
+TPU-first redesign of Tracking (/root/reference/src/sg-slam/src/Tracking.cc):
+the reference's per-frame sequence — Frame construction (ORB extraction),
+TrackWithMotionModel (projective search radius 15 + motion-only BA,
+Tracking.cc:906-967), TrackLocalMap (local-point search + second BA,
+:969-1014), keyframe-need counters (:1016-1113) — becomes ONE jitted
+fixed-shape program `track_step`, so a tracked frame costs a single
+host->device round trip (image in, pose out; SURVEY.md §7 hard-part #7).
+
+The state machine (init / OK / lost handling, KF insertion, local BA) stays
+on the host in `Tracker` — the analogue of the reference's thread glue, with
+queues replaced by plain Python control flow around jitted stages.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry import se3
+from ..geometry.camera import backproject
+from ..mapstate import local_map as lm
+from ..mapstate import mapstate as ms
+from ..matching import search
+from ..ops import orb
+from ..optim import local_ba, pose_opt
+
+NO_POINT = ms.NO_POINT
+
+
+@partial(jax.jit, static_argnums=(0,))
+def extract_frame(cfg: SlamConfig, gray, depth) -> orb.Features:
+    feats = orb.extract(gray, cfg.orb, cfg.camera)
+    return orb.attach_rgbd(feats, depth, cfg.camera)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def track_step(cfg: SlamConfig, m: ms.MapState, feats: orb.Features,
+               Tcw_pred):
+    """Track one frame against the map. Returns
+    (Tcw, matched_pids [N], n_inliers, n_close_tracked).
+
+    Stage 1 = TrackWithMotionModel contract: wide projective search
+    (radius 15 px) at the predicted pose + motion-only BA.
+    Stage 2 = TrackLocalMap contract: re-project at the refined pose,
+    tight search (radius by viewing angle), second BA, inlier counts.
+    """
+    t = cfg.tracker
+    local = lm.select_local_points(cfg.camera, m, Tcw_pred,
+                                   scale_factor=cfg.orb.scale_factor,
+                                   capacity=cfg.capacity.local_points)
+
+    def associate_and_optimize(Tcw_in, radius_mult, max_dist, prev_ok):
+        # project local points at the current pose estimate
+        pc = se3.se3_apply(Tcw_in[None], local.pos)
+        from ..geometry.camera import project
+
+        proj = project(cfg.camera, pc)
+        idx, ok, dist = search.search_by_projection(
+            proj, local.radius * radius_mult, local.pred_level,
+            local.desc, local.valid & (pc[..., 2] > 0.1),
+            feats.xy, feats.level, feats.desc, feats.valid,
+            level_window=1, max_dist=max_dist,
+            scale_factor=cfg.orb.scale_factor)
+        ok = search.resolve_duplicate_targets(idx, ok, dist, feats.capacity)
+        obs = jnp.stack([feats.xy[idx, 0], feats.xy[idx, 1],
+                         feats.u_right[idx]], -1)
+        lv = feats.level[idx].astype(jnp.float32)
+        inv_s2 = (1.0 / cfg.orb.scale_factor ** 2) ** lv
+        Tcw, inl, n = pose_opt.pose_optimization(
+            cfg.camera, Tcw_in, local.pos, obs, inv_s2, ok)
+        return Tcw, idx, ok & inl, n
+
+    # Stage 1: wide search at predicted pose (motion-model contract)
+    Tcw1, _, _, n1 = associate_and_optimize(
+        Tcw_pred, t.search_radius_motion / 4.0,
+        100, None)  # th_high=100 like SearchByProjection last-frame
+
+    # Fallback when the windowed search fails (large/unmodeled motion):
+    # descriptor-only brute force vs the local points, the contract of
+    # TrackReferenceKeyFrame's SearchByBoW path (Tracking.cc:796-860).
+    def brute_force(_):
+        idx, ok, dist = search.match_by_descriptor(
+            local.desc, local.valid, feats.desc, feats.valid, cfg.matcher,
+            max_dist=cfg.matcher.th_low, mutual=True)
+        ok = search.resolve_duplicate_targets(idx, ok, dist, feats.capacity)
+        obs = jnp.stack([feats.xy[idx, 0], feats.xy[idx, 1],
+                         feats.u_right[idx]], -1)
+        lv = feats.level[idx].astype(jnp.float32)
+        inv_s2 = (1.0 / cfg.orb.scale_factor ** 2) ** lv
+        Tcw, inl, n = pose_opt.pose_optimization(
+            cfg.camera, Tcw_pred, local.pos, obs, inv_s2, ok)
+        return Tcw
+
+    Tcw1 = jax.lax.cond(n1 >= t.min_matches_motion, lambda _: Tcw1,
+                        brute_force, None)
+    # Stage 2: tight local-map association at refined pose
+    Tcw2, idx2, ok2, n2 = associate_and_optimize(
+        Tcw1, 1.0, 100, None)
+
+    # per-feature matched point ids (invert point->feature matches)
+    slot = jnp.where(ok2, idx2, feats.capacity)
+    matched = jnp.full((feats.capacity + 1,), NO_POINT, jnp.int32).at[
+        slot].set(local.ids, mode="drop")[:feats.capacity]
+
+    # close-point bookkeeping for the KF decision (Tracking.cc:1040-1113)
+    close = (feats.depth > 0) & (feats.depth < cfg.close_depth_threshold)
+    tracked_close = jnp.sum((matched >= 0) & close)
+    untracked_close = jnp.sum((matched < 0) & close & feats.valid)
+
+    return Tcw2, matched, n2, tracked_close, untracked_close
+
+
+@partial(jax.jit, static_argnums=(0,))
+def local_ba_step(cfg: SlamConfig, m: ms.MapState, center_kf):
+    """Covisibility window -> BA -> writeback, fully on device.
+
+    Replaces LocalMapping's per-KF Optimizer::LocalBundleAdjustment call.
+    """
+    cov = ms.covisibility(m)
+    cap = cfg.capacity
+    ids, opt_mask = lm.ba_window(m, center_kf, cov,
+                                 window=cap.local_window,
+                                 n_fixed=cap.local_window // 2)
+    prob, pids = lm.build_ba_problem(cfg.camera, m, ids, opt_mask,
+                                     max_points=cap.local_points,
+                                     scale_factor=cfg.orb.scale_factor)
+    poses, points, inlier = local_ba.bundle_adjust(cfg.camera, prob)
+    return lm.writeback_ba(m, ids, opt_mask, poses, pids, points)
+
+
+class Tracker:
+    """Host-side state machine (System+Tracking facade without semantics).
+
+    States mirror Tracking.h:93-99: NOT_INITIALIZED -> OK; LOST on inlier
+    collapse (relocalization lands in a later milestone — on loss we coast
+    on the motion model, which the reference's VO fallback approximates).
+    """
+
+    def __init__(self, cfg: SlamConfig, local_ba_every: int = 1):
+        self.cfg = cfg
+        self.map = ms.empty_map(cfg.capacity, cfg.orb.max_keypoints)
+        self.state = "NOT_INITIALIZED"
+        self.Tcw = se3.se3_identity()
+        self.velocity = se3.se3_identity()
+        self.last_Tcw = se3.se3_identity()
+        self.frame_id = 0
+        self.last_kf_frame_id = -999
+        self.n_kf = 0
+        self.local_ba_every = local_ba_every
+        self.trajectory: list[np.ndarray] = []
+        self.n_inliers_hist: list[int] = []
+
+    # -- keyframe policy (contract of Tracking::NeedNewKeyFrame) --
+    def _need_new_kf(self, n_inliers, tracked_close, untracked_close):
+        t = self.cfg.tracker
+        since = self.frame_id - self.last_kf_frame_id
+        if since < 1:
+            return False
+        need_close = (tracked_close < 100) and (untracked_close > 70)
+        c1 = since >= t.max_frames_between_kf
+        c2 = n_inliers < 250 * t.kf_tracked_ratio or need_close
+        return bool(c1 or (c2 and n_inliers > 15))
+
+    def _insert_kf(self, feats, matched):
+        self.map = ms.insert_keyframe(
+            self.cfg.camera, self.cfg.orb.scale_factor, self.map, feats,
+            self.Tcw, self.frame_id, matched,
+            self.cfg.close_depth_threshold)
+        self.last_kf_frame_id = self.frame_id
+        self.n_kf += 1
+        if self.n_kf >= 2 and (self.n_kf % self.local_ba_every == 0):
+            self.map = local_ba_step(self.cfg, self.map,
+                                     jnp.asarray(self.n_kf - 1))
+
+    def process(self, gray, depth) -> np.ndarray:
+        """Track one RGB-D frame; returns Tcw [7] (numpy)."""
+        feats = extract_frame(self.cfg, gray, depth)
+
+        if self.state == "NOT_INITIALIZED":
+            # StereoInitialization contract (Tracking.cc:548-600):
+            # need enough keypoints with depth
+            n_ok = int(jnp.sum(feats.valid & (feats.depth > 0)))
+            if n_ok >= 200:
+                self.Tcw = se3.se3_identity()
+                matched = jnp.full((feats.capacity,), NO_POINT, jnp.int32)
+                self._insert_kf(feats, matched)
+                self.state = "OK"
+            self._record()
+            self.frame_id += 1
+            return np.asarray(self.Tcw)
+
+        Tcw_pred = se3.se3_compose(self.velocity, self.last_Tcw)
+        Tcw, matched, n_inl, tracked_close, untracked_close = track_step(
+            self.cfg, self.map, feats, Tcw_pred)
+        n_inl = int(n_inl)
+        self.n_inliers_hist.append(n_inl)
+
+        if n_inl < 10:
+            # lost: coast on the motion model (reloc in later milestone)
+            self.state = "LOST"
+            self.Tcw = Tcw_pred
+        else:
+            self.state = "OK"
+            self.Tcw = Tcw
+            if self._need_new_kf(n_inl, int(tracked_close),
+                                 int(untracked_close)):
+                self._insert_kf(feats, matched)
+
+        self.velocity = se3.se3_compose(self.Tcw,
+                                        se3.se3_inverse(self.last_Tcw))
+        self._record()
+        self.last_Tcw = self.Tcw
+        self.frame_id += 1
+        return np.asarray(self.Tcw)
+
+    def _record(self):
+        self.trajectory.append(np.asarray(self.Tcw))
+
+    # -- exports (System::SaveTrajectoryTUM contract) --
+    def poses_cw(self) -> np.ndarray:
+        return np.stack(self.trajectory)
