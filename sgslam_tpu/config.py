@@ -52,6 +52,13 @@ class TrackerConfig:
     kf_min_close_points: int = 100      # CreateNewKeyFrame (Tracking.cc:1196-1248)
     local_map_max_kf: int = 80          # UpdateLocalKeyFrames cap (Tracking.cc:1404)
     depth_threshold_factor: float = 40.0  # ThDepth: close-point cutoff = bf/fx * factor
+    # motion-only BA schedule (reference: 4 rounds x 10 iters). GN with
+    # analytic Jacobians converges in far fewer iterations; the wide first
+    # association tolerates a rougher pose than the final one.
+    pose_opt_rounds_stage1: int = 2
+    pose_opt_iters_stage1: int = 5
+    pose_opt_rounds_stage2: int = 3
+    pose_opt_iters_stage2: int = 5
 
 
 @dataclasses.dataclass(frozen=True)

@@ -151,9 +151,14 @@ def so3_log(q):
 
 
 def _rot_coeffs(theta2):
-    """A = sin t / t, B = (1-cos t)/t^2, C = (t - sin t)/t^3, Taylor-guarded."""
+    """A = sin t / t, B = (1-cos t)/t^2, C = (t - sin t)/t^3, Taylor-guarded.
+
+    The guard threshold is f32-aware: the C form cancels (t - sin t ~ t^3/6
+    vs absolute f32 error ~eps*t), so the series takes over at t < 0.01
+    where its own error (~t^2/120 relative) is still ~1e-6.
+    """
     theta = jnp.sqrt(jnp.maximum(theta2, 0.0))
-    small = theta < 1e-4
+    small = theta < 1e-2
     a = jnp.where(small, 1.0 - theta2 / 6.0,
                   jnp.sin(theta) / jnp.maximum(theta, _EPS))
     b = jnp.where(small, 0.5 - theta2 / 24.0,
@@ -218,9 +223,14 @@ def se3_log(T):
     t = T[..., 4:7]
     theta2 = jnp.sum(w * w, axis=-1, keepdims=True)
     a, b, _ = _rot_coeffs(theta2)
-    # V^{-1} = I - 1/2 W + coef * W^2,  coef = (1 - a/(2b)) / theta^2
-    small = theta2 < 1e-8
-    coef = jnp.where(small, 1.0 / 12.0,
+    # V^{-1} = I - 1/2 W + coef * W^2,  coef = (1 - a/(2b)) / theta^2.
+    # The general form cancels catastrophically in f32 (a/(2b) -> 1 with
+    # error ~eps while theta^2 -> 0), so switch to the Taylor series
+    # 1/12 + theta^2/720 well before that: at theta < 0.05 the series error
+    # (~theta^4/30240) is below f32 eps while the cancellation error
+    # (~eps/theta^2) is already 4e-5 and exploding.
+    small = theta2 < 2.5e-3
+    coef = jnp.where(small, 1.0 / 12.0 + theta2 / 720.0,
                      (1.0 - a / jnp.maximum(2.0 * b, _EPS))
                      / jnp.maximum(theta2, _EPS))
     wx = hat(w)

@@ -109,6 +109,29 @@ def ba_window(m: MapState, center_kf, cov, window: int = 8, n_fixed: int = 8):
     return ids, opt_mask
 
 
+@partial(jax.jit, static_argnames=("window", "n_fixed"))
+def ba_window_temporal(m: MapState, center_kf, window: int = 8,
+                       n_fixed: int = 4):
+    """Temporal local-BA window: the last `window` keyframes optimized, the
+    `n_fixed` before them fixed.
+
+    Hot-path substitute for the covisibility-ranked window: computing the
+    full covisibility matrix costs a [K, P] incidence scatter (~100 ms on
+    TPU), while sequential keyframes ARE the covisible set for an RGB-D
+    camera walking a scene. Loop-closure paths still use `ba_window`.
+    """
+    W = window + n_fixed
+    ids = center_kf - jnp.arange(W, dtype=jnp.int32)
+    ok = ids >= 0
+    ids = jnp.where(ok, ids, -1)
+    opt_mask = (jnp.arange(W) < window) & ok
+    any_fixed = jnp.any(ok & ~opt_mask)
+    oldest_pos = jnp.argmin(jnp.where(ok, ids, 10 ** 9))
+    opt_mask = jnp.where(any_fixed, opt_mask,
+                         opt_mask.at[oldest_pos].set(False))
+    return ids, opt_mask
+
+
 @partial(jax.jit, static_argnums=(0,),
          static_argnames=("max_points", "scale_factor"))
 def build_ba_problem(cam: Camera, m: MapState, kf_ids, opt_mask,
@@ -143,8 +166,7 @@ def build_ba_problem(cam: Camera, m: MapState, kf_ids, opt_mask,
     obs_local = local_of[jnp.where(obs_pt_global >= 0, obs_pt_global, P)]
     obs_valid = (obs_local >= 0) & kf_ok[:, None] & (obs_pt_global >= 0)
 
-    # observation arrays [W*N]
-    cam_idx = jnp.broadcast_to(jnp.arange(W)[:, None], (W, N))
+    # camera-major observation blocks [W, N] (BAProblem layout)
     uv = m.kf_feat_xy[kf_safe]                                # [W,N,2]
     ur = m.kf_feat_uvr[kf_safe]                               # [W,N]
     lv = m.kf_feat_level[kf_safe].astype(jnp.float32)
@@ -154,11 +176,9 @@ def build_ba_problem(cam: Camera, m: MapState, kf_ids, opt_mask,
         poses=m.kf_pose[kf_safe],
         opt_mask=opt_mask & kf_ok,
         points=m.pt_pos[pt_ids],
-        obs_cam=cam_idx.reshape(-1),
-        obs_pt=jnp.where(obs_valid, obs_local, 0).reshape(-1),
-        obs_uvr=jnp.concatenate([uv, ur[..., None]], -1).reshape(-1, 3),
-        obs_inv_sigma2=inv_sigma2.reshape(-1),
-        obs_valid=obs_valid.reshape(-1),
+        obs_pt=jnp.where(obs_valid, obs_local, 0),
+        obs_uvr=jnp.concatenate([uv, ur[..., None]], -1),
+        obs_w=inv_sigma2 * obs_valid.astype(jnp.float32),
     )
     return prob, jnp.where(pt_ok, pt_ids, NO_POINT).astype(jnp.int32)
 

@@ -1,0 +1,238 @@
+"""Map maintenance: point culling, keyframe culling, duplicate fusion,
+epipolar triangulation of new points.
+
+Replaces the rest of LocalMapping (/root/reference/src/sg-slam/src/
+LocalMapping.cc): MapPointCulling (:170-205), KeyFrameCulling (:632-696),
+SearchInNeighbors + ORBmatcher::Fuse (:454-534; ORBmatcher.cc:829,981), and
+CreateNewMapPoints' epipolar triangulation (:207-453) — all as masked array
+passes over the fixed-capacity map (erase = clearing validity bits;
+merge = observation rewrites).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..geometry import se3
+from ..geometry.camera import Camera, project, backproject
+from ..matching import search
+from ..matching.hamming import hamming_matrix, MAX_DIST
+from .mapstate import NO_POINT, MapState, incidence_matrix
+
+
+@jax.jit
+def cull_map_points(m: MapState) -> MapState:
+    """MapPointCulling contract: drop points whose found/visible ratio is
+    below 0.25, or that stay nearly unobserved after creation."""
+    obs_count = jnp.zeros(m.max_pt + 1, jnp.int32).at[
+        jnp.where(m.kf_obs_point >= 0, m.kf_obs_point, m.max_pt).reshape(-1)
+    ].add((m.kf_obs_point >= 0).reshape(-1).astype(jnp.int32))[:m.max_pt]
+
+    ratio = (m.pt_found.astype(jnp.float32)
+             / jnp.maximum(m.pt_visible.astype(jnp.float32), 1.0))
+    seen_enough = jnp.where(m.pt_visible >= 4, ratio >= 0.25, True)
+    # points created >=2 KFs ago need >=2 keyframe observations
+    age = m.next_kf - m.pt_first_kf
+    obs_ok = jnp.where(age >= 3, obs_count >= 2, True)
+    keep = m.pt_valid & seen_enough & obs_ok
+    return dataclasses.replace(m, pt_valid=keep)
+
+
+@jax.jit
+def cull_keyframes(m: MapState, protect_last: int = 2) -> MapState:
+    """KeyFrameCulling contract: a keyframe is redundant if >= 90% of its
+    observed points are seen by >= 3 other keyframes."""
+    obs = m.kf_obs_point
+    has = obs >= 0
+    obs_count = jnp.zeros(m.max_pt + 1, jnp.int32).at[
+        jnp.where(has, obs, m.max_pt).reshape(-1)
+    ].add(has.reshape(-1).astype(jnp.int32))[:m.max_pt]
+
+    cnt = obs_count[jnp.where(has, obs, 0)]          # [K,N]
+    redundant_obs = has & (cnt >= 4)                 # >=3 others + itself
+    n_obs = jnp.sum(has, axis=1)
+    n_red = jnp.sum(redundant_obs, axis=1)
+    redundant = (n_red.astype(jnp.float32)
+                 >= 0.9 * jnp.maximum(n_obs.astype(jnp.float32), 1.0))
+    # never cull KF 0 or the newest `protect_last`
+    ids = jnp.arange(m.max_kf)
+    protected = (ids == 0) | (ids >= m.next_kf - protect_last)
+    keep = m.kf_valid & (~redundant | protected)
+    # cull at most one KF per call (reference culls greedily per pass)
+    first_cull = jnp.argmax(m.kf_valid & ~keep & ~protected)
+    do_cull = jnp.any(m.kf_valid & ~keep & ~protected)
+    kf_valid = m.kf_valid.at[first_cull].set(
+        jnp.where(do_cull, False, m.kf_valid[first_cull]))
+    # clear the culled KF's observations
+    obs_new = jnp.where((ids[:, None] == first_cull) & do_cull, NO_POINT,
+                        m.kf_obs_point)
+    return dataclasses.replace(m, kf_valid=kf_valid, kf_obs_point=obs_new)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def fuse_duplicates(cam: Camera, m: MapState, kf_id,
+                    scale_factor: float = 1.2) -> MapState:
+    """Fuse contract (ORBmatcher::Fuse): project the map points of KF
+    `kf_id`'s neighborhood into KF `kf_id`; when a projected point matches a
+    feature already bound to a different point, merge into the older point
+    (rewriting observations); when it matches an unbound feature, add the
+    observation."""
+    Tcw = m.kf_pose[kf_id]
+    pc = se3.se3_apply(Tcw[None], m.pt_pos)
+    uv = project(cam, pc)
+    ok = (m.pt_valid & (pc[:, 2] > 0.1)
+          & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
+          & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height))
+
+    # windowed descriptor match point -> feature of this KF
+    idx, okm, dist = search.search_by_projection(
+        uv, jnp.full(m.max_pt, 3.0), jnp.zeros(m.max_pt, jnp.int32),
+        m.pt_desc, ok,
+        m.kf_feat_xy[kf_id], m.kf_feat_level[kf_id],
+        m.kf_feat_desc[kf_id], m.kf_feat_valid[kf_id],
+        level_window=7, max_dist=50, scale_factor=scale_factor)
+    okm = search.resolve_duplicate_targets(idx, okm, dist, m.n_feat)
+
+    bound = m.kf_obs_point[kf_id][idx]               # existing pid or -1
+    pid = jnp.arange(m.max_pt)
+    # merge: same feature claimed by projected point and an existing one ->
+    # keep the point with more keyframe observations, invalidate the other
+    obs_count = jnp.zeros(m.max_pt + 1, jnp.int32).at[
+        jnp.where(m.kf_obs_point >= 0, m.kf_obs_point,
+                  m.max_pt).reshape(-1)
+    ].add((m.kf_obs_point >= 0).reshape(-1).astype(jnp.int32))[:m.max_pt]
+
+    conflict = okm & (bound >= 0) & (bound != pid)
+    keep_existing = obs_count[jnp.where(bound >= 0, bound, 0)] >= obs_count
+    loser = jnp.where(conflict & keep_existing, pid,
+                      jnp.where(conflict, bound, -1))
+    winner = jnp.where(conflict & keep_existing, bound,
+                       jnp.where(conflict, pid, -1))
+    # invalidate losers; rewrite ALL observations loser -> winner
+    lose_mask = jnp.zeros(m.max_pt + 1, bool).at[
+        jnp.where(loser >= 0, loser, m.max_pt)].set(True)[:m.max_pt]
+    remap = jnp.arange(m.max_pt + 1, dtype=jnp.int32)
+    remap = remap.at[jnp.where(loser >= 0, loser, m.max_pt)].set(
+        jnp.where(winner >= 0, winner, 0).astype(jnp.int32))
+    obs = m.kf_obs_point
+    obs_new = jnp.where(obs >= 0, remap[jnp.where(obs >= 0, obs, 0)], obs)
+    pt_valid = m.pt_valid & ~lose_mask
+
+    # bind unbound features to the projected point
+    new_bind = okm & (bound == NO_POINT) & pt_valid
+    row = m.kf_obs_point[kf_id]
+    slot = jnp.where(new_bind, idx, m.n_feat)
+    row_new = jnp.full(m.n_feat + 1, NO_POINT, jnp.int32).at[:m.n_feat].set(
+        obs_new[kf_id]).at[slot].set(
+        jnp.where(new_bind, pid, NO_POINT).astype(jnp.int32),
+        mode="drop")[:m.n_feat]
+    obs_new = obs_new.at[kf_id].set(row_new)
+    return dataclasses.replace(m, pt_valid=pt_valid, kf_obs_point=obs_new)
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("max_new",))
+def triangulate_new_points(cam: Camera, m: MapState, kf_a, kf_b,
+                           scale_factor: float = 1.2,
+                           max_new: int = 128) -> MapState:
+    """CreateNewMapPoints contract (epipolar triangulation between two
+    keyframes): match unbound features along descriptor distance, DLT-
+    triangulate, check cheirality / parallax / reprojection, insert.
+
+    RGB-D creates most points from depth; this adds the far points the
+    depth sensor misses (and is the mono/stereo path's workhorse).
+    """
+    desc_a = m.kf_feat_desc[kf_a]
+    desc_b = m.kf_feat_desc[kf_b]
+    free_a = m.kf_feat_valid[kf_a] & (m.kf_obs_point[kf_a] == NO_POINT)
+    free_b = m.kf_feat_valid[kf_b] & (m.kf_obs_point[kf_b] == NO_POINT)
+    from ..config import MatcherConfig
+
+    idx, ok, dist = search.match_by_descriptor(
+        desc_a, free_a, desc_b, free_b, MatcherConfig(), mutual=True)
+
+    Ta = m.kf_pose[kf_a]
+    Tb = m.kf_pose[kf_b]
+    # rays in world frame
+    Twa = se3.se3_inverse(Ta)
+    Twb = se3.se3_inverse(Tb)
+    uva = m.kf_feat_xy[kf_a]
+    uvb = m.kf_feat_xy[kf_b][idx]
+
+    def norm_ray(uv):
+        return jnp.stack([(uv[:, 0] - cam.cx) / cam.fx,
+                          (uv[:, 1] - cam.cy) / cam.fy,
+                          jnp.ones_like(uv[:, 0])], -1)
+
+    ra = se3.quat_rotate(Twa[None, :4], norm_ray(uva))
+    rb = se3.quat_rotate(Twb[None, :4], norm_ray(uvb))
+    oa = Twa[4:7]
+    ob = Twb[4:7]
+
+    # midpoint triangulation (closed form, batched)
+    w = jnp.sum(ra * rb, -1)
+    d2a = jnp.sum(ra * ra, -1)
+    d2b = jnp.sum(rb * rb, -1)
+    dd = oa[None] - ob[None]
+    denom = d2a * d2b - w * w
+    sa = (w * jnp.sum(rb * dd, -1) - d2b * jnp.sum(ra * dd, -1)) / \
+        jnp.maximum(denom, 1e-9)
+    sb = (d2a * jnp.sum(rb * dd, -1) - w * jnp.sum(ra * dd, -1)) / \
+        jnp.maximum(denom, 1e-9)
+    pw = 0.5 * ((oa[None] + sa[:, None] * ra) + (ob[None] + sb[:, None] * rb))
+
+    # checks: parallax, cheirality, reprojection
+    cosp = w / jnp.sqrt(jnp.maximum(d2a * d2b, 1e-12))
+    pca = se3.se3_apply(Ta[None], pw)
+    pcb = se3.se3_apply(Tb[None], pw)
+    err_a = jnp.sum((project(cam, pca) - uva) ** 2, -1)
+    err_b = jnp.sum((project(cam, pcb) - uvb) ** 2, -1)
+    good = (ok & (cosp < 0.9998) & (pca[:, 2] > 0.05) & (pcb[:, 2] > 0.05)
+            & (err_a < 5.991) & (err_b < 5.991) & (denom > 1e-9))
+
+    # allocate up to max_new
+    prio = jnp.where(good, -dist.astype(jnp.float32), -jnp.inf)
+    top_p, slots = jax.lax.top_k(prio, max_new)
+    sel_ok = jnp.isfinite(top_p)
+    new_ids = m.next_pt + jnp.cumsum(sel_ok.astype(jnp.int32)) - 1
+    sel_ok = sel_ok & (new_ids < m.max_pt)
+    new_ids = jnp.where(sel_ok, new_ids, m.max_pt)
+
+    pw_sel = pw[slots]
+    cam_center = Twa[4:7]
+    dvec = pw_sel - cam_center[None]
+    dist_w = jnp.linalg.norm(dvec, axis=-1)
+    normal = dvec / jnp.maximum(dist_w, 1e-6)[:, None]
+    lv = m.kf_feat_level[kf_a][slots].astype(jnp.float32)
+    max_d = dist_w * scale_factor ** lv
+    min_d = max_d / scale_factor ** 7
+
+    mm = dataclasses.replace(
+        m,
+        pt_pos=m.pt_pos.at[new_ids].set(pw_sel, mode="drop"),
+        pt_valid=m.pt_valid.at[new_ids].set(sel_ok, mode="drop"),
+        pt_desc=m.pt_desc.at[new_ids].set(desc_a[slots], mode="drop"),
+        pt_normal=m.pt_normal.at[new_ids].set(normal, mode="drop"),
+        pt_min_dist=m.pt_min_dist.at[new_ids].set(min_d, mode="drop"),
+        pt_max_dist=m.pt_max_dist.at[new_ids].set(max_d, mode="drop"),
+        pt_first_kf=m.pt_first_kf.at[new_ids].set(kf_a, mode="drop"),
+        next_pt=jnp.minimum(m.next_pt + jnp.sum(sel_ok.astype(jnp.int32)),
+                            m.max_pt))
+    # wire observations in both keyframes
+    row_a = mm.kf_obs_point[kf_a]
+    slot_a = jnp.where(sel_ok, slots, mm.n_feat)
+    row_a = jnp.concatenate([row_a, jnp.full((1,), NO_POINT, jnp.int32)]
+                            ).at[slot_a].set(
+        jnp.where(sel_ok, new_ids, NO_POINT).astype(jnp.int32),
+        mode="drop")[:mm.n_feat]
+    row_b = mm.kf_obs_point[kf_b]
+    slot_b = jnp.where(sel_ok, idx[slots], mm.n_feat)
+    row_b = jnp.concatenate([row_b, jnp.full((1,), NO_POINT, jnp.int32)]
+                            ).at[slot_b].set(
+        jnp.where(sel_ok, new_ids, NO_POINT).astype(jnp.int32),
+        mode="drop")[:mm.n_feat]
+    obs = mm.kf_obs_point.at[kf_a].set(row_a).at[kf_b].set(row_b)
+    return dataclasses.replace(mm, kf_obs_point=obs)

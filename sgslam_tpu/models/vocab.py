@@ -1,0 +1,165 @@
+"""Binary bag-of-words vocabulary tree for place recognition.
+
+Replaces DBoW2's TemplatedVocabulary/FORB stack (/root/reference/src/sg-slam/
+Thirdparty/DBoW2/DBoW2/TemplatedVocabulary.h: k-ary tree transform() :135,
+L1 scoring :162, binary load :1467) with a TPU-native design:
+
+  * a PERFECT k-ary tree stored as per-level descriptor arrays — descendant
+    lookup is gather + batched Hamming argmin per level (no pointers);
+  * transform() quantizes all N descriptors of a frame in parallel
+    (depth x [N, k] Hamming mins);
+  * BoW vectors are dense [n_words] tf-idf histograms (n_words ~ 10^4 — a
+    dense row per keyframe is ~40 KB, perfect for matmul scoring);
+  * L1 similarity s = 1 - 0.5*|a/|a| - b/|b||_1 over the whole keyframe
+    database in one broadcast (KeyFrameDatabase::DetectLoopCandidates's
+    inverted file becomes a dense scan — at K <= 512 keyframes the scan is
+    faster than sparse bookkeeping on TPU).
+
+The vocabulary itself is trained by hierarchical binary k-means (majority
+bit medoids) on descriptors harvested from any image corpus — the
+data asset (ORB-SLAM2's ORBvoc) is replaced by `train_vocab`, since this
+framework's descriptors use a different (own) BRIEF pattern anyway.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+from typing import Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..matching.hamming import hamming_matrix
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class Vocabulary:
+    """Perfect k-ary tree; level l holds k^(l+1) node descriptors."""
+
+    level_desc: tuple  # tuple of [k^(l+1), 8] uint32 arrays, l = 0..L-1
+    word_idf: jax.Array  # [k^L] f32
+
+    @property
+    def branching(self):
+        return self.level_desc[0].shape[0]
+
+    @property
+    def depth(self):
+        return len(self.level_desc)
+
+    @property
+    def n_words(self):
+        return self.word_idf.shape[0]
+
+
+def _majority_bits(descs: np.ndarray) -> np.ndarray:
+    """Binary 'mean' of packed uint32 descriptors [N, 8] -> [8]."""
+    bits = np.unpackbits(
+        np.ascontiguousarray(descs).view(np.uint8), axis=1)
+    mean = (bits.mean(0) >= 0.5).astype(np.uint8)
+    return np.packbits(mean).view(np.uint32)
+
+
+def _hamming_np(a, b):
+    x = np.bitwise_xor(a[:, None, :], b[None, :, :])
+    return np.unpackbits(x.view(np.uint8).reshape(x.shape[0], x.shape[1], -1),
+                         axis=2).sum(2)
+
+
+def _kmeans_binary(descs: np.ndarray, k: int, rng, iters: int = 8):
+    """Binary k-means; returns (centroids [k,8], assignment [N])."""
+    n = len(descs)
+    if n == 0:
+        return rng.integers(0, 2 ** 32, size=(k, 8), dtype=np.uint64
+                            ).astype(np.uint32), np.zeros(0, int)
+    init = descs[rng.choice(n, size=min(k, n), replace=False)]
+    cents = np.concatenate([
+        init, rng.integers(0, 2 ** 32, size=(k - len(init), 8),
+                           dtype=np.uint64).astype(np.uint32)])
+    for _ in range(iters):
+        d = _hamming_np(descs, cents)
+        assign = d.argmin(1)
+        for c in range(k):
+            sel = descs[assign == c]
+            if len(sel):
+                cents[c] = _majority_bits(sel)
+    return cents, _hamming_np(descs, cents).argmin(1)
+
+
+def train_vocab(descriptors: np.ndarray, branching: int = 10,
+                depth: int = 4, seed: int = 0) -> Vocabulary:
+    """Hierarchical binary k-means. descriptors: [N, 8] uint32."""
+    rng = np.random.default_rng(seed)
+    levels = []
+    # breadth-first: node at level l index i has children i*k..i*k+k-1
+    groups = [descriptors]
+    for lv in range(depth):
+        cents_lv = []
+        next_groups = []
+        for g in groups:
+            cents, assign = _kmeans_binary(g, branching, rng)
+            cents_lv.append(cents)
+            for c in range(branching):
+                next_groups.append(g[assign == c] if len(g) else g)
+        levels.append(jnp.asarray(np.concatenate(cents_lv)))
+        groups = next_groups
+    n_words = branching ** depth
+    # idf from training counts (words never seen get max idf)
+    counts = np.asarray([len(g) for g in groups], np.float32)
+    n_total = max(counts.sum(), 1.0)
+    idf = np.log(n_total / np.maximum(counts, 1.0))
+    return Vocabulary(level_desc=tuple(levels),
+                      word_idf=jnp.asarray(idf, jnp.float32))
+
+
+def random_vocab(branching: int = 10, depth: int = 4,
+                 seed: int = 0) -> Vocabulary:
+    """LSH-style random tree — functional fallback when no corpus exists."""
+    rng = np.random.default_rng(seed)
+    levels = []
+    n = 1
+    for lv in range(depth):
+        n *= branching
+        levels.append(jnp.asarray(rng.integers(
+            0, 2 ** 32, size=(n, 8), dtype=np.uint64).astype(np.uint32)))
+    return Vocabulary(level_desc=tuple(levels),
+                      word_idf=jnp.ones(branching ** depth, jnp.float32))
+
+
+@jax.jit
+def quantize(vocab: Vocabulary, desc, valid):
+    """Descriptors [N,8] -> word ids [N] (parallel tree descent)."""
+    k = vocab.branching
+    n = desc.shape[0]
+    node = jnp.zeros(n, jnp.int32)
+    for lv in range(vocab.depth):
+        cand = vocab.level_desc[lv]                      # [k^(lv+1), 8]
+        idx = node[:, None] * k + jnp.arange(k)[None, :]  # [N, k]
+        cd = cand[idx]                                   # [N, k, 8]
+        x = cd ^ desc[:, None, :]
+        d = jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+        node = idx[jnp.arange(n), jnp.argmin(d, axis=1)]
+    return jnp.where(valid, node, -1)
+
+
+@jax.jit
+def bow_vector(vocab: Vocabulary, word_ids):
+    """Word ids [N] -> L1-normalized tf-idf histogram [n_words]."""
+    W = vocab.n_words
+    ok = word_ids >= 0
+    hist = jnp.zeros(W + 1, jnp.float32).at[
+        jnp.where(ok, word_ids, W)].add(1.0)[:W]
+    hist = hist * vocab.word_idf
+    return hist / jnp.maximum(jnp.sum(hist), 1e-9)
+
+
+@jax.jit
+def l1_score(query, db):
+    """DBoW2 L1 similarity of query [W] against db rows [K, W] -> [K].
+
+    s = 1 - 0.5 * sum |q - d|  (inputs already L1-normalized).
+    """
+    return 1.0 - 0.5 * jnp.sum(jnp.abs(query[None, :] - db), axis=-1)

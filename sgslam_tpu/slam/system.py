@@ -1,0 +1,138 @@
+"""System facade: the full RGB-D semantic SLAM engine.
+
+Replaces System (/root/reference/src/sg-slam/src/System.cc): constructs the
+tracker, detector, loop closer and semantic mapper, wires them per frame,
+and provides the public API — TrackRGBD, trajectory savers, reset, shutdown
+(System.h:68-135). The reference's six threads + mutex queues become host
+calls around jitted stages (SURVEY.md §2.3): the detector runs one frame
+ahead of consumption (same latency semantics as the reference's
+previous-frame box usage, minus the blocking wait at Frame.cc:478-481).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..config import SlamConfig
+from ..geometry import se3
+from ..io import trajectory as traj_io
+from ..mapping.semantic_mapper import SemanticMapper
+from ..semantic import dynamic as dyn_mod
+from ..semantic.dynamic import Boxes
+from . import tracking
+from .loop_closing import LoopCloser
+
+
+class System:
+    def __init__(self, cfg: SlamConfig, vocab=None, *,
+                 enable_semantic: bool = True, enable_loop: bool = True,
+                 enable_mapping: bool = True, detector=None):
+        self.cfg = cfg
+        self.tracker = tracking.Tracker(cfg)
+        self.loop = LoopCloser(cfg, vocab) if enable_loop else None
+        self.mapper = SemanticMapper(cfg) if enable_mapping else None
+        self.enable_semantic = enable_semantic and cfg.dynamic.enabled
+        self.detector = detector
+        if enable_semantic and detector is None and cfg.detector.enabled:
+            from ..models.detector import Detector2D
+
+            self.detector = Detector2D(cfg.detector)
+
+        self.prev_gray = None
+        self.prev_dynamic_boxes = Boxes.empty(cfg.detector.max_boxes)
+        self.person_cull_boxes = Boxes.empty(cfg.detector.max_boxes)
+        self.object_boxes = None
+        self.timestamps: list[float] = []
+        self._key = jax.random.PRNGKey(7)
+
+    # ------------------------------------------------------------------
+    def track_rgbd(self, gray, depth, rgb=None,
+                   timestamp: Optional[float] = None) -> np.ndarray:
+        """Main per-frame API (System::TrackRGBD contract)."""
+        cfg = self.cfg
+        gray = jnp.asarray(gray)
+        depth = jnp.asarray(depth)
+        self.timestamps.append(
+            timestamp if timestamp is not None
+            else len(self.timestamps) / cfg.fps)
+
+        # 2-D detection on the current frame (device-async; consumed below)
+        if self.detector is not None and rgb is not None:
+            (_, person_cull, person_map,
+             objects2d) = self.detector.detect(
+                jnp.asarray(rgb), cfg.camera.width, cfg.camera.height)
+            self.person_cull_boxes = person_cull
+            self.object_boxes = objects2d
+            dynamic_boxes = person_map
+        else:
+            dynamic_boxes = Boxes.empty(cfg.detector.max_boxes)
+
+        feats = tracking.extract_frame(cfg, gray, depth)
+
+        # semantic + geometric dynamic rejection (SG-SLAM core novelty)
+        if self.enable_semantic and self.prev_gray is not None:
+            self._key, sub = jax.random.split(self._key)
+            keep, _, _ = dyn_mod.reject_dynamic(
+                cfg.dynamic, gray, self.prev_gray, feats.xy_raw,
+                feats.valid, self.person_cull_boxes,
+                self.prev_dynamic_boxes, sub)
+            feats = dyn_mod.apply_keep_mask(feats, keep)
+
+        Tcw = self.tracker.process(gray, depth, feats=feats)
+
+        # relocalization on tracking loss (Tracking::Relocalization path)
+        if self.tracker.state == "LOST" and self.loop is not None:
+            T_reloc, n = self.loop.relocalize(self.tracker.map, feats)
+            if T_reloc is not None:
+                self.tracker.force_pose(T_reloc)
+                Tcw = np.asarray(T_reloc)
+
+        # keyframe side effects: loop closing + semantic mapping
+        if self.tracker.kf_inserted:
+            kf_id = self.tracker.last_kf_id
+            if self.loop is not None:
+                corrected = self.loop.on_keyframe(self.tracker.map, kf_id)
+                if corrected is not None:
+                    self.tracker.map = corrected
+                    self.tracker.Tcw = corrected.kf_pose[kf_id]
+                    self.tracker.last_Tcw = self.tracker.Tcw
+            if self.mapper is not None:
+                self.mapper.insert_keyframe(
+                    gray, depth, jnp.asarray(Tcw), dynamic_boxes,
+                    self.object_boxes)
+
+        self.prev_gray = gray
+        self.prev_dynamic_boxes = dynamic_boxes
+        return Tcw
+
+    # ------------------------------------------------------------------
+    @property
+    def state(self):
+        return self.tracker.state
+
+    def reset(self):
+        """System::Reset contract: drop map + trajectory, keep config."""
+        self.__init__(self.cfg, self.loop.vocab if self.loop else None,
+                      enable_semantic=self.enable_semantic,
+                      enable_loop=self.loop is not None,
+                      enable_mapping=self.mapper is not None,
+                      detector=self.detector)
+
+    def save_trajectory_tum(self, path: str):
+        traj_io.save_tum(path, self.timestamps, self.tracker.poses_cw())
+
+    def save_trajectory_kitti(self, path: str):
+        traj_io.save_kitti(path, self.tracker.poses_cw())
+
+    def save_keyframe_trajectory_tum(self, path: str):
+        m = self.tracker.map
+        valid = np.asarray(m.kf_valid)
+        poses = np.asarray(m.kf_pose)[valid]
+        fids = np.asarray(m.kf_frame_id)[valid]
+        ts = [self.timestamps[min(f, len(self.timestamps) - 1)]
+              for f in fids]
+        traj_io.save_tum(path, ts, poses)

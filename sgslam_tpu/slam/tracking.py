@@ -75,10 +75,12 @@ def track_step(cfg: SlamConfig, m: ms.MapState, feats: orb.Features,
         lv = feats.level[idx].astype(jnp.float32)
         inv_s2 = (1.0 / cfg.orb.scale_factor ** 2) ** lv
         Tcw, inl, n = pose_opt.pose_optimization(
-            cfg.camera, Tcw_in, local.pos, obs, inv_s2, ok)
+            cfg.camera, Tcw_in, local.pos, obs, inv_s2, ok,
+            rounds=rounds, iters=iters)
         return Tcw, idx, ok & inl, n
 
     # Stage 1: wide search at predicted pose (motion-model contract)
+    rounds, iters = t.pose_opt_rounds_stage1, t.pose_opt_iters_stage1
     Tcw1, _, _, n1 = associate_and_optimize(
         Tcw_pred, t.search_radius_motion / 4.0,
         100, None)  # th_high=100 like SearchByProjection last-frame
@@ -102,6 +104,7 @@ def track_step(cfg: SlamConfig, m: ms.MapState, feats: orb.Features,
     Tcw1 = jax.lax.cond(n1 >= t.min_matches_motion, lambda _: Tcw1,
                         brute_force, None)
     # Stage 2: tight local-map association at refined pose
+    rounds, iters = t.pose_opt_rounds_stage2, t.pose_opt_iters_stage2
     Tcw2, idx2, ok2, n2 = associate_and_optimize(
         Tcw1, 1.0, 100, None)
 
@@ -124,11 +127,13 @@ def local_ba_step(cfg: SlamConfig, m: ms.MapState, center_kf):
 
     Replaces LocalMapping's per-KF Optimizer::LocalBundleAdjustment call.
     """
-    cov = ms.covisibility(m)
     cap = cfg.capacity
-    ids, opt_mask = lm.ba_window(m, center_kf, cov,
-                                 window=cap.local_window,
-                                 n_fixed=cap.local_window // 2)
+    # temporal window (sequential KFs ARE the covisible set for a moving
+    # RGB-D camera; the covisibility-ranked variant lives in lm.ba_window
+    # and is used on loop-closure paths where temporal adjacency breaks)
+    ids, opt_mask = lm.ba_window_temporal(m, center_kf,
+                                          window=cap.local_window,
+                                          n_fixed=cap.local_window // 2)
     prob, pids = lm.build_ba_problem(cfg.camera, m, ids, opt_mask,
                                      max_points=cap.local_points,
                                      scale_factor=cfg.orb.scale_factor)
@@ -176,13 +181,21 @@ class Tracker:
             self.cfg.close_depth_threshold)
         self.last_kf_frame_id = self.frame_id
         self.n_kf += 1
+        self.kf_inserted = True
+        self.last_kf_id = self.n_kf - 1
         if self.n_kf >= 2 and (self.n_kf % self.local_ba_every == 0):
             self.map = local_ba_step(self.cfg, self.map,
                                      jnp.asarray(self.n_kf - 1))
 
-    def process(self, gray, depth) -> np.ndarray:
-        """Track one RGB-D frame; returns Tcw [7] (numpy)."""
-        feats = extract_frame(self.cfg, gray, depth)
+    def process(self, gray, depth, feats=None) -> np.ndarray:
+        """Track one RGB-D frame; returns Tcw [7] (numpy).
+
+        `feats` may be supplied by the caller (System does this to run
+        semantic dynamic rejection between extraction and tracking).
+        """
+        self.kf_inserted = False
+        if feats is None:
+            feats = extract_frame(self.cfg, gray, depth)
 
         if self.state == "NOT_INITIALIZED":
             # StereoInitialization contract (Tracking.cc:548-600):
@@ -220,6 +233,15 @@ class Tracker:
         self.last_Tcw = self.Tcw
         self.frame_id += 1
         return np.asarray(self.Tcw)
+
+    def force_pose(self, Tcw):
+        """Install an externally recovered pose (relocalization)."""
+        self.Tcw = jnp.asarray(Tcw)
+        self.last_Tcw = self.Tcw
+        self.velocity = se3.se3_identity()
+        self.state = "OK"
+        if self.trajectory:
+            self.trajectory[-1] = np.asarray(self.Tcw)
 
     def _record(self):
         self.trajectory.append(np.asarray(self.Tcw))

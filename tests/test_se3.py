@@ -84,6 +84,20 @@ def test_se3_exp_zero():
     np.testing.assert_allclose(T, se3.se3_identity(), atol=1e-7)
 
 
+def test_se3_log_small_angle_no_cancellation():
+    """Regression: f32 cancellation in V^-1 blew up se3_log for
+    1e-4 < theta < 0.05 (broke BA's convergence metric)."""
+    for theta in (1e-5, 1e-4, 5e-4, 2e-3, 1e-2, 4e-2):
+        w = np.array([theta, 0.3 * theta, -0.2 * theta], np.float32)
+        w /= np.linalg.norm(w) / theta
+        t = np.array([4e-4, 3e-4, 7e-5], np.float32)
+        T = se3.se3_make(se3.so3_exp_quat(jnp.asarray(w)), jnp.asarray(t))
+        xi = np.asarray(se3.se3_log(T))
+        assert np.abs(xi[:3]).max() < 1e-2, (theta, xi)
+        T2 = se3.se3_exp(jnp.asarray(xi))
+        np.testing.assert_allclose(np.asarray(T2), np.asarray(T), atol=1e-5)
+
+
 def test_se3_matrix_roundtrip(rng):
     T = random_se3(rng, (16,))
     T2 = se3.se3_from_matrix(se3.se3_to_matrix(T))
