@@ -114,6 +114,20 @@ class System:
     def state(self):
         return self.tracker.state
 
+    def activate_localization_mode(self):
+        """Freeze the map and only track (System.cc:345-349)."""
+        self.tracker.only_tracking = True
+
+    def deactivate_localization_mode(self):
+        """Resume full SLAM: keyframe insertion + mapping (System.cc:351-355)."""
+        self.tracker.only_tracking = False
+
+    def shutdown(self):
+        """System::Shutdown contract (System.cc:376-396): the reference
+        joins its six threads; our stages are host calls around jitted
+        programs, so shutdown just flushes device work."""
+        jax.block_until_ready(self.tracker.map)
+
     def reset(self):
         """System::Reset contract: drop map + trajectory, keep config."""
         self.__init__(self.cfg, self.loop.vocab if self.loop else None,

@@ -153,6 +153,10 @@ class Tracker:
         self.cfg = cfg
         self.map = ms.empty_map(cfg.capacity, cfg.orb.max_keypoints)
         self.state = "NOT_INITIALIZED"
+        # localization-only mode: track against the frozen map, never
+        # insert keyframes (System::ActivateLocalizationMode contract,
+        # System.cc:345-355 / Tracking.cc "mbOnlyTracking")
+        self.only_tracking = False
         self.Tcw = se3.se3_identity()
         self.velocity = se3.se3_identity()
         self.last_Tcw = se3.se3_identity()
@@ -223,8 +227,8 @@ class Tracker:
         else:
             self.state = "OK"
             self.Tcw = Tcw
-            if self._need_new_kf(n_inl, int(tracked_close),
-                                 int(untracked_close)):
+            if not self.only_tracking and self._need_new_kf(
+                    n_inl, int(tracked_close), int(untracked_close)):
                 self._insert_kf(feats, matched)
 
         self.velocity = se3.se3_compose(self.Tcw,
