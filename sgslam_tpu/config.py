@@ -142,6 +142,10 @@ class LoopConfig:
     min_total_matches: int = 40            # final accept (LoopClosing.cc:375-391)
     vocab_branching: int = 10
     vocab_depth: int = 5                   # effective lookup depth
+    # run full-map BA after essential-graph correction, the contract of
+    # LoopClosing::RunGlobalBundleAdjustment (LoopClosing.cc:575-579,645-749)
+    run_global_ba: bool = True
+    global_ba_iters: int = 10              # GlobalBundleAdjustemnt(10) (LoopClosing.cc:650)
 
 
 @dataclasses.dataclass(frozen=True)

@@ -88,13 +88,19 @@ class TumSequence:
     def __len__(self):
         return len(self.assoc.rgb_paths)
 
-    def frame(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+    def _read(self, rel_path: str) -> np.ndarray:
+        from . import native
+
+        path = os.path.join(self.root, rel_path)
+        if native.available():
+            return native.png_read(path)
         from PIL import Image
 
-        rgb = np.asarray(
-            Image.open(os.path.join(self.root, self.assoc.rgb_paths[i])))
-        depth_raw = np.asarray(
-            Image.open(os.path.join(self.root, self.assoc.depth_paths[i])))
+        return np.asarray(Image.open(path))
+
+    def frame(self, i: int) -> Tuple[np.ndarray, np.ndarray]:
+        rgb = self._read(self.assoc.rgb_paths[i])
+        depth_raw = self._read(self.assoc.depth_paths[i])
         if rgb.ndim == 3:
             # ITU-R BT.601 luma, same as cv::cvtColor(BGR2GRAY) up to channel
             # order (reference: Tracking.cc:214-224 converts to grayscale).
@@ -106,10 +112,28 @@ class TumSequence:
         return gray.astype(np.float32), depth
 
     def rgb(self, i: int) -> np.ndarray:
-        from PIL import Image
+        return self._read(self.assoc.rgb_paths[i])
 
-        return np.asarray(
-            Image.open(os.path.join(self.root, self.assoc.rgb_paths[i])))
+    def prefetch(self, n_threads: int = 4, window: int = 8):
+        """Decode-ahead iterator over (i, gray, depth, rgb) backed by the
+        C++ worker pool (native/dataset.cc); falls back to the synchronous
+        path without it."""
+        from . import native
+
+        if native.available():
+            loader = native.NativeTumLoader(
+                [os.path.join(self.root, p) for p in self.assoc.rgb_paths],
+                [os.path.join(self.root, p) for p in self.assoc.depth_paths],
+                depth_factor=self.depth_factor, n_threads=n_threads,
+                window=window)
+            try:
+                yield from loader
+            finally:
+                loader.close()
+            return
+        for i in range(len(self)):
+            gray, depth = self.frame(i)
+            yield i, gray, depth, self.rgb(i)
 
 
 def load_groundtruth(path: str):

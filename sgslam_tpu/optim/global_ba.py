@@ -1,0 +1,50 @@
+"""Full-map bundle adjustment.
+
+Contract of Optimizer::GlobalBundleAdjustemnt / BundleAdjustment
+(/root/reference/src/sg-slam/src/Optimizer.cc:41-237): optimize every valid
+keyframe pose (first keyframe fixed for gauge) and every valid map point
+against all observations, Huber-robust, then write results back — the
+reference stages results in mTcwGBA/mPosGBA and propagates under the map
+mutex (LoopClosing::RunGlobalBundleAdjustment, LoopClosing.cc:645-749); our
+map is a value, so writeback is a functional scatter and "propagation" is
+the same spanning-tree-free correction the pose-graph writer uses.
+
+The whole map fits one fixed-shape BAProblem ([K, N] observation blocks),
+so global BA is literally local BA with the window = everything — the
+Schur-complement point marginalization and the dense reduced camera solve
+in optim/local_ba.py already batch over arbitrary window sizes.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import SlamConfig
+from ..mapstate import local_map as lm
+from ..mapstate import mapstate as ms
+from . import local_ba
+
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("iters",))
+def global_ba_step(cfg: SlamConfig, m: ms.MapState, *,
+                   iters: int = 10) -> ms.MapState:
+    """One global-BA pass over the whole map, fully on device.
+
+    Gauge fix: keyframe 0 (the reference fixes the first KF via
+    vSE3->setFixed(pKF->mnId==0), Optimizer.cc:100).
+    """
+    K = m.max_kf
+    kf_ids = jnp.arange(K, dtype=jnp.int32)
+    kf_ids = jnp.where(m.kf_valid, kf_ids, -1)
+    opt_mask = m.kf_valid & (jnp.arange(K) != 0)
+
+    prob, pids = lm.build_ba_problem(
+        cfg.camera, m, kf_ids, opt_mask,
+        max_points=cfg.capacity.max_points,
+        scale_factor=cfg.orb.scale_factor)
+    poses, points, inlier = local_ba.bundle_adjust(
+        cfg.camera, prob, iters1=iters // 2, iters2=iters - iters // 2)
+    return lm.writeback_ba(m, kf_ids, opt_mask, poses, pids, points)

@@ -248,4 +248,13 @@ class LoopCloser:
         new_poses = jax.vmap(
             lambda q, t: se3.se3_make(se3.quat_normalize(q), t))(
             new_poses[:, :4], new_poses[:, 4:7])
-        return _apply_correction(m, old_poses, new_poses)
+        m = _apply_correction(m, old_poses, new_poses)
+
+        # full-map BA after the graph correction (the reference spawns
+        # RunGlobalBundleAdjustment here, LoopClosing.cc:575-579)
+        if self.cfg.loop.run_global_ba:
+            from ..optim.global_ba import global_ba_step
+
+            m = global_ba_step(self.cfg, m,
+                               iters=self.cfg.loop.global_ba_iters)
+        return m

@@ -165,6 +165,11 @@ class Tracker:
         self.n_kf = 0
         self.local_ba_every = local_ba_every
         self.trajectory: list[np.ndarray] = []
+        # trajectory as relative poses against the reference keyframe, so a
+        # loop/GBA correction of keyframes retroactively corrects every
+        # frame (System::SaveTrajectoryTUM contract, System.cc:424-453)
+        self.traj_ref_kf: list[int] = []
+        self.traj_rel: list[np.ndarray] = []
         self.n_inliers_hist: list[int] = []
 
     # -- keyframe policy (contract of Tracking::NeedNewKeyFrame) --
@@ -245,11 +250,35 @@ class Tracker:
         self.velocity = se3.se3_identity()
         self.state = "OK"
         if self.trajectory:
-            self.trajectory[-1] = np.asarray(self.Tcw)
+            self.trajectory.pop()
+            self.traj_ref_kf.pop()
+            self.traj_rel.pop()
+            self._record()
 
     def _record(self):
         self.trajectory.append(np.asarray(self.Tcw))
+        ref = self.last_kf_id if self.n_kf > 0 else -1
+        self.traj_ref_kf.append(ref)
+        if ref < 0:
+            self.traj_rel.append(np.asarray(self.Tcw))
+        else:
+            T_rel = se3.se3_compose(
+                jnp.asarray(self.Tcw),
+                se3.se3_inverse(self.map.kf_pose[ref]))
+            self.traj_rel.append(np.asarray(T_rel))
 
     # -- exports (System::SaveTrajectoryTUM contract) --
     def poses_cw(self) -> np.ndarray:
-        return np.stack(self.trajectory)
+        """Full trajectory, reconstructed as T_rel * Tcw(ref KF) with the
+        CURRENT keyframe poses — frames recorded before a loop closure or
+        global BA come out corrected (System.cc:424-453)."""
+        if not self.trajectory:
+            return np.zeros((0, 7), np.float32)
+        refs = np.asarray(self.traj_ref_kf)
+        rel = np.stack(self.traj_rel)
+        kf_pose = np.asarray(self.map.kf_pose)
+        ref_T = kf_pose[np.maximum(refs, 0)]
+        out = np.asarray(jax.vmap(se3.se3_compose)(
+            jnp.asarray(rel), jnp.asarray(ref_T)))
+        raw = np.stack(self.trajectory)
+        return np.where((refs >= 0)[:, None], out, raw)
