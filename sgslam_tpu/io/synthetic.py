@@ -61,6 +61,18 @@ ROOM = (
     Plane(1.0, 0.0, 0.0, -2.0, 3.0),    # left wall at x=-2.0
 )
 
+# A fully closed box (all four walls + floor + ceiling): the camera can spin
+# a full circuit and always sees textured geometry — the fixture for loop-
+# closure trajectories (the analogue of a room-circuit TUM sequence).
+ROOM_CLOSED = (
+    Plane(0.0, 0.0, -1.0, -3.5, 1.0),   # back wall   z = +3.5
+    Plane(0.0, 0.0, 1.0, -3.5, 4.0),    # front wall  z = -3.5
+    Plane(1.0, 0.0, 0.0, -2.5, 3.0),    # left wall   x = -2.5
+    Plane(-1.0, 0.0, 0.0, -2.5, 5.0),   # right wall  x = +2.5
+    Plane(0.0, -1.0, 0.0, -1.0, 2.0),   # floor       y = +1.0
+    Plane(0.0, 1.0, 0.0, -1.5, 6.0),    # ceiling     y = -1.5
+)
+
 
 def _plane_basis(n):
     """Two in-plane axes for texture coordinates."""
@@ -72,9 +84,9 @@ def _plane_basis(n):
     return u, v
 
 
-@partial(jax.jit, static_argnums=(0,))
+@partial(jax.jit, static_argnums=(0, 4))
 def render_frame(cam: Camera, T_wc, obj_center=None, obj_half: float = 0.35,
-                 obj_depth_ofs: float = 1.2):
+                 planes=ROOM, obj_depth_ofs: float = 1.2):
     """Render one RGB-D frame.
 
     Args:
@@ -100,7 +112,7 @@ def render_frame(cam: Camera, T_wc, obj_center=None, obj_half: float = 0.35,
     best_t = jnp.full((H, W), jnp.inf)
     best_col = jnp.zeros((H, W))
 
-    for pl in ROOM:
+    for pl in planes:
         n = jnp.array([pl.nx, pl.ny, pl.nz])
         denom = jnp.einsum("hwc,c->hw", d_w, n)
         t = (pl.d - jnp.dot(n, o)) / jnp.where(jnp.abs(denom) < 1e-6,
@@ -158,14 +170,40 @@ def object_track(n_frames: int, dtype=jnp.float32):
     return jnp.stack([cx, cy, cz], axis=-1)
 
 
+def make_circuit_trajectory(n_frames: int, radius: float = 1.0,
+                            loops: float = 1.0, dtype=jnp.float32):
+    """Closed-circuit camera path inside ROOM_CLOSED: the camera walks a
+    circle of `radius` in the x-z plane, always facing outward, completing
+    `loops` full revolutions — frame 0 and frame N-1 share a viewpoint
+    (the loop-closure fixture)."""
+    s = jnp.linspace(0.0, loops, n_frames, dtype=dtype)
+    theta = 2 * jnp.pi * s
+    # camera at angle theta faces outward: camera +z (view dir) points away
+    # from the circle center -> yaw = theta about +y
+    half = theta / 2.0
+    q = jnp.stack([jnp.cos(half), jnp.zeros_like(half),
+                   jnp.sin(half), jnp.zeros_like(half)], axis=-1)
+    # outward direction for yaw theta: R(theta) @ [0,0,1]
+    out_dir = jnp.stack([jnp.sin(theta), jnp.zeros_like(theta),
+                         jnp.cos(theta)], axis=-1)
+    t = radius * out_dir
+    t = t + jnp.stack([jnp.zeros_like(s),
+                       0.05 * jnp.sin(6 * jnp.pi * s),   # slight bob
+                       jnp.zeros_like(s)], axis=-1)
+    return jax.vmap(se3.se3_make)(q, t)
+
+
 class SyntheticSequence:
     """Host-side iterator mimicking a dataset: (gray, depth, gt_T_wc)."""
 
-    def __init__(self, cam: Camera, n_frames: int = 60, dynamic: bool = False):
+    def __init__(self, cam: Camera, n_frames: int = 60, dynamic: bool = False,
+                 planes=ROOM, poses=None):
         self.cam = cam
         self.n_frames = n_frames
         self.dynamic = dynamic
-        self.poses = make_trajectory(n_frames)      # T_wc (camera-to-world)
+        self.planes = planes
+        # T_wc (camera-to-world) per frame
+        self.poses = poses if poses is not None else make_trajectory(n_frames)
         self.obj = object_track(n_frames) if dynamic else None
         self.timestamps = np.arange(n_frames, dtype=np.float64) / 30.0
 
@@ -174,7 +212,8 @@ class SyntheticSequence:
 
     def frame(self, i: int):
         obj_c = self.obj[i] if self.dynamic else None
-        gray, depth = render_frame(self.cam, self.poses[i], obj_c)
+        gray, depth = render_frame(self.cam, self.poses[i], obj_c,
+                                   planes=self.planes)
         return gray, depth
 
     def gt_pose_wc(self, i: int):

@@ -112,18 +112,22 @@ def ba_window(m: MapState, center_kf, cov, window: int = 8, n_fixed: int = 8):
 @partial(jax.jit, static_argnames=("window", "n_fixed"))
 def ba_window_temporal(m: MapState, center_kf, window: int = 8,
                        n_fixed: int = 4):
-    """Temporal local-BA window: the last `window` keyframes optimized, the
-    `n_fixed` before them fixed.
+    """Temporal local-BA window: the most recent `window` VALID keyframes
+    (at or before `center_kf`) optimized, the `n_fixed` before them fixed.
 
     Hot-path substitute for the covisibility-ranked window: computing the
     full covisibility matrix costs a [K, P] incidence scatter (~100 ms on
     TPU), while sequential keyframes ARE the covisible set for an RGB-D
     camera walking a scene. Loop-closure paths still use `ba_window`.
+    Culled slots (kf_valid = False) are skipped, so the window stays
+    meaningful after KeyFrameCulling.
     """
     W = window + n_fixed
-    ids = center_kf - jnp.arange(W, dtype=jnp.int32)
-    ok = ids >= 0
-    ids = jnp.where(ok, ids, -1)
+    slot = jnp.arange(m.max_kf, dtype=jnp.int32)
+    prio = jnp.where(m.kf_valid & (slot <= center_kf), slot, -1)
+    top = jax.lax.top_k(prio, W)[0]         # descending recency
+    ok = top >= 0
+    ids = jnp.where(ok, top, -1)
     opt_mask = (jnp.arange(W) < window) & ok
     any_fixed = jnp.any(ok & ~opt_mask)
     oldest_pos = jnp.argmin(jnp.where(ok, ids, 10 ** 9))

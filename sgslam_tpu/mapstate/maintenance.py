@@ -73,41 +73,62 @@ def cull_keyframes(m: MapState, protect_last: int = 2) -> MapState:
     return dataclasses.replace(m, kf_valid=kf_valid, kf_obs_point=obs_new)
 
 
-@partial(jax.jit, static_argnums=(0,))
-def fuse_duplicates(cam: Camera, m: MapState, kf_id,
-                    scale_factor: float = 1.2) -> MapState:
-    """Fuse contract (ORBmatcher::Fuse): project the map points of KF
-    `kf_id`'s neighborhood into KF `kf_id`; when a projected point matches a
-    feature already bound to a different point, merge into the older point
-    (rewriting observations); when it matches an unbound feature, add the
-    observation."""
-    Tcw = m.kf_pose[kf_id]
-    pc = se3.se3_apply(Tcw[None], m.pt_pos)
-    uv = project(cam, pc)
-    ok = (m.pt_valid & (pc[:, 2] > 0.1)
-          & (uv[:, 0] >= 0) & (uv[:, 0] < cam.width)
-          & (uv[:, 1] >= 0) & (uv[:, 1] < cam.height))
+@jax.jit
+def prev_valid_kf(m: MapState, kf_id):
+    """Largest valid keyframe slot strictly before `kf_id` (-1 if none)."""
+    slot = jnp.arange(m.max_kf, dtype=jnp.int32)
+    prio = jnp.where(m.kf_valid & (slot < kf_id), slot, -1)
+    return jnp.max(prio)
 
-    # windowed descriptor match point -> feature of this KF
+
+@partial(jax.jit, static_argnums=(0,), static_argnames=("max_candidates",))
+def fuse_duplicates(cam: Camera, m: MapState, kf_id,
+                    scale_factor: float = 1.2,
+                    max_candidates: int = 4096) -> MapState:
+    """Fuse contract (ORBmatcher::Fuse, ORBmatcher.cc:829 via
+    LocalMapping::SearchInNeighbors, LocalMapping.cc:454-534): project map
+    points into KF `kf_id`; when a projected point matches a feature already
+    bound to a different point, merge into the better-observed point
+    (rewriting observations everywhere); when it matches an unbound feature,
+    add the observation.
+
+    Candidates are frustum-culled to `max_candidates` first so the Hamming
+    matrix stays [L, N] instead of [P, N] — this runs inside the per-KF scan.
+    """
+    Tcw = m.kf_pose[kf_id]
+    pc_all = se3.se3_apply(Tcw[None], m.pt_pos)
+    uv_all = project(cam, pc_all)
+    in_view = (m.pt_valid & (pc_all[:, 2] > 0.1)
+               & (uv_all[:, 0] >= 0) & (uv_all[:, 0] < cam.width)
+               & (uv_all[:, 1] >= 0) & (uv_all[:, 1] < cam.height))
+    prio = jnp.where(in_view, 1e6 + m.pt_found.astype(jnp.float32), -jnp.inf)
+    top_p, cand = jax.lax.top_k(prio, max_candidates)     # [L] global pids
+    cand_ok = jnp.isfinite(top_p)
+    uv = uv_all[cand]
+
+    # windowed descriptor match candidate point -> feature of this KF
+    L = max_candidates
     idx, okm, dist = search.search_by_projection(
-        uv, jnp.full(m.max_pt, 3.0), jnp.zeros(m.max_pt, jnp.int32),
-        m.pt_desc, ok,
+        uv, jnp.full(L, 3.0), jnp.zeros(L, jnp.int32),
+        m.pt_desc[cand], cand_ok,
         m.kf_feat_xy[kf_id], m.kf_feat_level[kf_id],
         m.kf_feat_desc[kf_id], m.kf_feat_valid[kf_id],
         level_window=7, max_dist=50, scale_factor=scale_factor)
     okm = search.resolve_duplicate_targets(idx, okm, dist, m.n_feat)
+    okm = okm & cand_ok
 
     bound = m.kf_obs_point[kf_id][idx]               # existing pid or -1
-    pid = jnp.arange(m.max_pt)
+    pid = jnp.where(cand_ok, cand, m.max_pt)         # [L] global ids
     # merge: same feature claimed by projected point and an existing one ->
     # keep the point with more keyframe observations, invalidate the other
     obs_count = jnp.zeros(m.max_pt + 1, jnp.int32).at[
         jnp.where(m.kf_obs_point >= 0, m.kf_obs_point,
                   m.max_pt).reshape(-1)
-    ].add((m.kf_obs_point >= 0).reshape(-1).astype(jnp.int32))[:m.max_pt]
+    ].add((m.kf_obs_point >= 0).reshape(-1).astype(jnp.int32))
 
     conflict = okm & (bound >= 0) & (bound != pid)
-    keep_existing = obs_count[jnp.where(bound >= 0, bound, 0)] >= obs_count
+    keep_existing = (obs_count[jnp.where(bound >= 0, bound, 0)]
+                     >= obs_count[pid])
     loser = jnp.where(conflict & keep_existing, pid,
                       jnp.where(conflict, bound, -1))
     winner = jnp.where(conflict & keep_existing, bound,
@@ -118,13 +139,14 @@ def fuse_duplicates(cam: Camera, m: MapState, kf_id,
     remap = jnp.arange(m.max_pt + 1, dtype=jnp.int32)
     remap = remap.at[jnp.where(loser >= 0, loser, m.max_pt)].set(
         jnp.where(winner >= 0, winner, 0).astype(jnp.int32))
+    remap = remap.at[m.max_pt].set(m.max_pt)
     obs = m.kf_obs_point
     obs_new = jnp.where(obs >= 0, remap[jnp.where(obs >= 0, obs, 0)], obs)
     pt_valid = m.pt_valid & ~lose_mask
 
     # bind unbound features to the projected point
-    new_bind = okm & (bound == NO_POINT) & pt_valid
-    row = m.kf_obs_point[kf_id]
+    new_bind = okm & (bound == NO_POINT) & pt_valid[jnp.clip(pid, 0,
+                                                             m.max_pt - 1)]
     slot = jnp.where(new_bind, idx, m.n_feat)
     row_new = jnp.full(m.n_feat + 1, NO_POINT, jnp.int32).at[:m.n_feat].set(
         obs_new[kf_id]).at[slot].set(
@@ -153,6 +175,11 @@ def triangulate_new_points(cam: Camera, m: MapState, kf_a, kf_b,
 
     idx, ok, dist = search.match_by_descriptor(
         desc_a, free_a, desc_b, free_b, MatcherConfig(), mutual=True)
+    # rotation-consistency histogram (ORBmatcher.cc:1603-1646): matched
+    # keypoints between two views of a rigid scene share one dominant
+    # orientation delta; matches in minority bins are outliers.
+    dtheta = m.kf_feat_angle[kf_a] - m.kf_feat_angle[kf_b][idx]
+    ok = search.rotation_consistency(dtheta, ok)
 
     Ta = m.kf_pose[kf_a]
     Tb = m.kf_pose[kf_b]
@@ -236,3 +263,74 @@ def triangulate_new_points(cam: Camera, m: MapState, kf_a, kf_b,
         mode="drop")[:mm.n_feat]
     obs = mm.kf_obs_point.at[kf_a].set(row_a).at[kf_b].set(row_b)
     return dataclasses.replace(mm, kf_obs_point=obs)
+
+
+@jax.jit
+def compact_map(m: MapState):
+    """Repack valid keyframes and points to the front of their arrays,
+    preserving insertion order, and remap all cross-references.
+
+    The fixed-capacity map allocates monotonically (insert_keyframe writes
+    slot `next_kf`; culling only clears validity bits), so a long run
+    eventually exhausts slots even when the LIVE count is bounded by
+    KeyFrameCulling / MapPointCulling. Compaction is the free-list: the host
+    calls it when `next_kf`/`next_pt` nears capacity. This is the analogue
+    of the reference's pointer-graph erase (Map.cc:63-116 EraseKeyFrame /
+    EraseMapPoint actually free memory; we free slots in bulk instead).
+
+    Returns (m', kf_new_of_old [K], pt_new_of_old [P]) — old slot -> new
+    slot maps (useful entries only where the old slot was valid).
+    """
+    K, P = m.max_kf, m.max_pt
+    kf_slot = jnp.arange(K, dtype=jnp.int32)
+    pt_slot = jnp.arange(P, dtype=jnp.int32)
+    # stable partition: valid slots first, in slot order
+    kf_order = jnp.argsort(jnp.where(m.kf_valid, kf_slot, K + kf_slot))
+    pt_order = jnp.argsort(jnp.where(m.pt_valid, pt_slot, P + pt_slot))
+    kf_new_of_old = jnp.argsort(kf_order).astype(jnp.int32)
+    pt_new_of_old = jnp.argsort(pt_order).astype(jnp.int32)
+    n_kf = jnp.sum(m.kf_valid.astype(jnp.int32))
+    n_pt = jnp.sum(m.pt_valid.astype(jnp.int32))
+
+    def take_kf(x):
+        return x[kf_order]
+
+    def take_pt(x):
+        return x[pt_order]
+
+    # remap observation point ids through the point permutation; entries
+    # pointing at invalid points become NO_POINT
+    obs = take_kf(m.kf_obs_point)
+    obs_safe = jnp.where(obs >= 0, obs, 0)
+    obs_new = jnp.where((obs >= 0) & m.pt_valid[obs_safe],
+                        pt_new_of_old[obs_safe], NO_POINT)
+    first = take_pt(m.pt_first_kf)
+    first_safe = jnp.where(first >= 0, first, 0)
+    first_new = jnp.where((first >= 0) & m.kf_valid[first_safe],
+                          kf_new_of_old[first_safe], -1)
+
+    m2 = MapState(
+        kf_pose=take_kf(m.kf_pose),
+        kf_valid=take_kf(m.kf_valid),
+        kf_frame_id=take_kf(m.kf_frame_id),
+        kf_feat_xy=take_kf(m.kf_feat_xy),
+        kf_feat_uvr=take_kf(m.kf_feat_uvr),
+        kf_feat_depth=take_kf(m.kf_feat_depth),
+        kf_feat_level=take_kf(m.kf_feat_level),
+        kf_feat_angle=take_kf(m.kf_feat_angle),
+        kf_feat_desc=take_kf(m.kf_feat_desc),
+        kf_feat_valid=take_kf(m.kf_feat_valid),
+        kf_obs_point=obs_new,
+        pt_pos=take_pt(m.pt_pos),
+        pt_valid=take_pt(m.pt_valid),
+        pt_desc=take_pt(m.pt_desc),
+        pt_normal=take_pt(m.pt_normal),
+        pt_min_dist=take_pt(m.pt_min_dist),
+        pt_max_dist=take_pt(m.pt_max_dist),
+        pt_visible=take_pt(m.pt_visible),
+        pt_found=take_pt(m.pt_found),
+        pt_first_kf=first_new,
+        next_kf=n_kf,
+        next_pt=n_pt,
+    )
+    return m2, kf_new_of_old, pt_new_of_old

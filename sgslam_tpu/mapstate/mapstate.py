@@ -204,11 +204,23 @@ def insert_keyframe(cam, scale_factor: float, m: MapState, feats: Features,
         top_slot].set(jnp.where(new_ok, new_ids, NO_POINT).astype(jnp.int32))
     obs_row = jnp.where(obs_row == NO_POINT, new_pt_for_slot, obs_row)
 
-    # found/visible counters for matched points
+    # found/visible counters (MapPoint::IncreaseVisible/IncreaseFound,
+    # MapPoint.cc:120-140): visible = predicted in this KF's frustum,
+    # found = actually matched — their ratio drives MapPointCulling.
     was_matched = matched_point_ids >= 0
     mp = jnp.where(was_matched, matched_point_ids, m.max_pt)
     pt_found = m.pt_found.at[mp].add(1, mode="drop")
-    pt_visible = m.pt_visible.at[mp].add(1, mode="drop")
+    pc_all = se3.se3_apply(Tcw[None], m.pt_pos)
+    uv_all = cam_mod.project(cam, pc_all)
+    in_frustum = (m.pt_valid & (pc_all[:, 2] > 0.1)
+                  & (uv_all[:, 0] >= 0) & (uv_all[:, 0] < cam.width)
+                  & (uv_all[:, 1] >= 0) & (uv_all[:, 1] < cam.height))
+    pt_visible = m.pt_visible + in_frustum.astype(jnp.int32)
+    # matched points count as visible even if the refined pose moved them
+    # out of frame
+    pt_visible = jnp.maximum(
+        pt_visible,
+        m.pt_visible.at[mp].add(1, mode="drop"))
 
     return dataclasses.replace(
         m,

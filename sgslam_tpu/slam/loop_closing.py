@@ -109,6 +109,23 @@ class LoopCloser:
         self._consistency: dict[int, int] = {}  # candidate -> streak
         self.loops_closed: list[tuple[int, int]] = []
 
+    def remap_keyframes(self, kf_old_to_new, old_valid):
+        """Follow a map compaction: permute the BoW database rows and the
+        consistency streaks to the new keyframe slots."""
+        K = self.bow_db.shape[0]
+        old_valid = jnp.asarray(old_valid)
+        dst = jnp.where(old_valid, jnp.asarray(kf_old_to_new), K)
+        bow_new = jnp.zeros_like(self.bow_db).at[dst].set(
+            jnp.where(old_valid[:, None], self.bow_db, 0.0), mode="drop")
+        db_valid_new = jnp.zeros_like(self.db_valid).at[dst].set(
+            self.db_valid & old_valid, mode="drop")
+        self.bow_db = bow_new
+        self.db_valid = db_valid_new
+        ov = np.asarray(old_valid)
+        km = np.asarray(kf_old_to_new)
+        self._consistency = {int(km[k]): v for k, v in
+                             self._consistency.items() if ov[k]}
+
     def on_keyframe(self, m: ms.MapState, kf_id: int):
         """Update the database; returns a corrected map if a loop closes."""
         cfg = self.cfg

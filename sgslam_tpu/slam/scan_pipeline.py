@@ -54,7 +54,8 @@ def slam_chunk(cfg: SlamConfig, carry: ScanCarry, grays, depths):
         Tcw_pred = se3.se3_compose(c.velocity, c.Tcw)
         Tcw, matched, n_inl, tc, uc = tracking.track_step(
             cfg, c.m, feats, Tcw_pred)
-        ok = n_inl >= 10
+        # TrackLocalMap inlier gate (Tracking.cc:1006-1012)
+        ok = n_inl >= t.min_inliers_local_map
         Tcw = jnp.where(ok, Tcw, Tcw_pred)
 
         # keyframe decision (Tracking::NeedNewKeyFrame contract)
@@ -65,13 +66,15 @@ def slam_chunk(cfg: SlamConfig, carry: ScanCarry, grays, depths):
         need_kf = ok & (c1 | (c2 & (n_inl > 15)))
 
         def do_kf(m):
+            kf_id = m.next_kf
             m = ms.insert_keyframe(
                 cfg.camera, cfg.orb.scale_factor, m, feats, Tcw,
                 c.frame_id, matched, cfg.close_depth_threshold)
-            kf_id = m.next_kf - 1
+            # full back-end pass (LocalMapping::Run): cull points,
+            # triangulate, fuse duplicates, local BA, cull keyframes
             return jax.lax.cond(
                 kf_id >= 2,
-                lambda mm: tracking.local_ba_step(cfg, mm, kf_id),
+                lambda mm: tracking.process_new_keyframe(cfg, mm, kf_id),
                 lambda mm: mm, m)
 
         m = jax.lax.cond(need_kf, do_kf, lambda m: m, c.m)
@@ -117,7 +120,21 @@ class ChunkedTracker:
         poses = outs[:, :7]
         self.trajectory.extend(list(poses))
         self.n_inliers_hist.extend(outs[:, 7].astype(int).tolist())
+        self._maybe_compact()
         return poses
+
+    def _maybe_compact(self):
+        """Repack map slots between chunks when allocation nears capacity
+        (slots are monotonic inside the scan; culling frees them lazily)."""
+        from ..mapstate import maintenance as mt
+
+        m = self._carry.m
+        worst_kf = self.chunk  # at most one KF per frame per chunk
+        if (int(m.next_kf) < m.max_kf - worst_kf - 2
+                and int(m.next_pt) < m.max_pt - 4096):
+            return
+        m2, _, _ = mt.compact_map(m)
+        self._carry = dataclasses.replace(self._carry, m=m2)
 
     @property
     def map(self):

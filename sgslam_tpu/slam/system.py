@@ -42,6 +42,9 @@ class System:
 
             self.detector = Detector2D(cfg.detector)
 
+        if self.loop is not None:
+            self.tracker.on_compaction = self.loop.remap_keyframes
+
         self.prev_gray = None
         self.prev_dynamic_boxes = Boxes.empty(cfg.detector.max_boxes)
         self.person_cull_boxes = Boxes.empty(cfg.detector.max_boxes)
@@ -90,6 +93,12 @@ class System:
             if T_reloc is not None:
                 self.tracker.force_pose(T_reloc)
                 Tcw = np.asarray(T_reloc)
+
+        # lost right after init with a tiny map: full reset
+        # (Tracking.cc:513-521 "Track lost soon after initialisation")
+        if self.tracker.state == "LOST" and self.tracker.n_kf <= 5:
+            self.reset()
+            return Tcw
 
         # keyframe side effects: loop closing + semantic mapping
         if self.tracker.kf_inserted:

@@ -141,6 +141,36 @@ def local_ba_step(cfg: SlamConfig, m: ms.MapState, center_kf):
     return lm.writeback_ba(m, ids, opt_mask, poses, pids, points)
 
 
+@partial(jax.jit, static_argnums=(0,))
+def process_new_keyframe(cfg: SlamConfig, m: ms.MapState, kf_id):
+    """The full per-keyframe back-end pass, fully on device.
+
+    Mirrors LocalMapping::Run's sequence per new keyframe
+    (/root/reference/src/sg-slam/src/LocalMapping.cc:61-87):
+    MapPointCulling -> CreateNewMapPoints (epipolar triangulation with the
+    previous keyframe) -> SearchInNeighbors (duplicate fusion) ->
+    LocalBundleAdjustment -> KeyFrameCulling.
+    """
+    from ..mapstate import maintenance as mt
+
+    m = mt.cull_map_points(m)
+    prev = mt.prev_valid_kf(m, kf_id)
+    m = jax.lax.cond(
+        prev >= 0,
+        lambda mm: mt.triangulate_new_points(
+            cfg.camera, mm, kf_id, jnp.maximum(prev, 0),
+            scale_factor=cfg.orb.scale_factor),
+        lambda mm: mm, m)
+    m = mt.fuse_duplicates(cfg.camera, m, kf_id,
+                           scale_factor=cfg.orb.scale_factor,
+                           max_candidates=cfg.capacity.local_points)
+    n_valid = jnp.sum(m.kf_valid.astype(jnp.int32))
+    m = jax.lax.cond(n_valid >= 3,
+                     lambda mm: local_ba_step(cfg, mm, kf_id),
+                     lambda mm: mm, m)
+    return mt.cull_keyframes(m)
+
+
 class Tracker:
     """Host-side state machine (System+Tracking facade without semantics).
 
@@ -164,6 +194,9 @@ class Tracker:
         self.last_kf_frame_id = -999
         self.n_kf = 0
         self.local_ba_every = local_ba_every
+        self.on_compaction = None    # callback(kf_old_to_new, old_valid)
+        self.compactions = 0
+        self.last_reloc_frame_id = -999
         self.trajectory: list[np.ndarray] = []
         # trajectory as relative poses against the reference keyframe, so a
         # loop/GBA correction of keyframes retroactively corrects every
@@ -184,6 +217,7 @@ class Tracker:
         return bool(c1 or (c2 and n_inliers > 15))
 
     def _insert_kf(self, feats, matched):
+        kf_slot = int(self.map.next_kf)
         self.map = ms.insert_keyframe(
             self.cfg.camera, self.cfg.orb.scale_factor, self.map, feats,
             self.Tcw, self.frame_id, matched,
@@ -191,10 +225,48 @@ class Tracker:
         self.last_kf_frame_id = self.frame_id
         self.n_kf += 1
         self.kf_inserted = True
-        self.last_kf_id = self.n_kf - 1
+        self.last_kf_id = kf_slot
+        # full back-end pass per keyframe (LocalMapping::Run contract):
+        # point culling, triangulation, fusion, local BA, KF culling
         if self.n_kf >= 2 and (self.n_kf % self.local_ba_every == 0):
-            self.map = local_ba_step(self.cfg, self.map,
-                                     jnp.asarray(self.n_kf - 1))
+            self.map = process_new_keyframe(self.cfg, self.map,
+                                            jnp.asarray(kf_slot))
+        self._maybe_compact()
+
+    def _maybe_compact(self):
+        """Repack the map when monotonic slot allocation nears capacity.
+
+        Frames recorded relative to a culled keyframe are re-anchored to
+        absolute poses first (their reference slot's data is about to be
+        reused), then reference-KF slot ids are remapped.
+        """
+        from ..mapstate import maintenance as mt
+
+        m = self.map
+        if (int(m.next_kf) < m.max_kf - 4
+                and int(m.next_pt) < m.max_pt - 2048):
+            return
+        kf_valid = np.asarray(m.kf_valid)
+        kf_pose = np.asarray(m.kf_pose)
+        m2, kf_map, _ = mt.compact_map(m)
+        kf_map = np.asarray(kf_map)
+        for i, ref in enumerate(self.traj_ref_kf):
+            if ref < 0:
+                continue
+            if kf_valid[ref]:
+                self.traj_ref_kf[i] = int(kf_map[ref])
+            else:  # anchor KF was culled: bake the absolute pose
+                T_abs = se3.se3_compose(jnp.asarray(self.traj_rel[i]),
+                                        jnp.asarray(kf_pose[ref]))
+                self.traj_ref_kf[i] = -1
+                self.traj_rel[i] = np.asarray(T_abs)
+                self.trajectory[i] = np.asarray(T_abs)
+        if self.last_kf_id >= 0 and kf_valid[self.last_kf_id]:
+            self.last_kf_id = int(kf_map[self.last_kf_id])
+        self.map = m2
+        self.compactions = getattr(self, "compactions", 0) + 1
+        if self.on_compaction is not None:
+            self.on_compaction(kf_map, kf_valid)
 
     def process(self, gray, depth, feats=None) -> np.ndarray:
         """Track one RGB-D frame; returns Tcw [7] (numpy).
@@ -225,8 +297,16 @@ class Tracker:
         n_inl = int(n_inl)
         self.n_inliers_hist.append(n_inl)
 
-        if n_inl < 10:
-            # lost: coast on the motion model (reloc in later milestone)
+        # TrackLocalMap inlier gates (Tracking.cc:1006-1012): 50 inliers
+        # required shortly after a relocalization, 30 otherwise
+        t = self.cfg.tracker
+        recently_relocated = (self.frame_id - self.last_reloc_frame_id
+                              < t.max_frames_between_kf)
+        min_inl = (t.min_inliers_after_reloc if recently_relocated
+                   else t.min_inliers_local_map)
+        if n_inl < min_inl:
+            # lost: coast on the motion model; the System facade attempts
+            # relocalization against the keyframe database
             self.state = "LOST"
             self.Tcw = Tcw_pred
         else:
@@ -249,6 +329,7 @@ class Tracker:
         self.last_Tcw = self.Tcw
         self.velocity = se3.se3_identity()
         self.state = "OK"
+        self.last_reloc_frame_id = self.frame_id
         if self.trajectory:
             self.trajectory.pop()
             self.traj_ref_kf.pop()

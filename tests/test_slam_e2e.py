@@ -53,6 +53,8 @@ def test_map_populated(run_result):
     tr, _, _ = run_result
     m = tr.map
     assert int(m.pt_valid.sum()) > 200
-    assert int(m.kf_valid.sum()) == tr.n_kf
+    # KeyFrameCulling may drop redundant keyframes; all live slots are
+    # among the inserted ones
+    assert 2 <= int(m.kf_valid.sum()) <= tr.n_kf
     # observations wired
     assert int((m.kf_obs_point >= 0).sum()) > 200
