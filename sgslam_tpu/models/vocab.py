@@ -115,6 +115,37 @@ def train_vocab(descriptors: np.ndarray, branching: int = 10,
                       word_idf=jnp.asarray(idf, jnp.float32))
 
 
+def save_vocab(path: str, vocab: Vocabulary) -> None:
+    """Persist a vocabulary as npz (the binary-asset role of the
+    reference's ORBvoc.bin, TemplatedVocabulary.h:1467)."""
+    arrays = {f"level_{i}": np.asarray(d)
+              for i, d in enumerate(vocab.level_desc)}
+    arrays["word_idf"] = np.asarray(vocab.word_idf)
+    np.savez_compressed(path, **arrays)
+
+
+def load_vocab(path: str) -> Vocabulary:
+    with np.load(path) as z:
+        n_levels = sum(1 for k in z.files if k.startswith("level_"))
+        levels = tuple(jnp.asarray(z[f"level_{i}"])
+                       for i in range(n_levels))
+        idf = jnp.asarray(z["word_idf"])
+    return Vocabulary(level_desc=levels, word_idf=idf)
+
+
+def default_vocab() -> Vocabulary:
+    """The packaged trained vocabulary (built by tools/build_vocab.py from
+    a synthetic ORB corpus); falls back to an LSH random tree if the asset
+    is missing."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "assets", "vocab.npz")
+    if os.path.exists(path):
+        return load_vocab(path)
+    return random_vocab()
+
+
 def random_vocab(branching: int = 10, depth: int = 4,
                  seed: int = 0) -> Vocabulary:
     """LSH-style random tree — functional fallback when no corpus exists."""

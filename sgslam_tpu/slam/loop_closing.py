@@ -83,6 +83,57 @@ def _match_keyframes(cfg: SlamConfig, m: ms.MapState, kf_a, kf_b):
     return pa, pb, uva, uvb, ok
 
 
+@partial(jax.jit, static_argnums=(0,))
+def _widen_sim3(cfg: SlamConfig, m: ms.MapState, kf_cur, kf_loop, S_ab):
+    """SearchBySim3 widening + Horn refine (LoopClosing.cc:323-391;
+    ORBmatcher::SearchBySim3, ORBmatcher.cc:1106): transform the loop
+    keyframe's depth-backed features into the current keyframe through the
+    candidate Sim3, run a windowed projective search for additional
+    correspondences (radius 7.5 px like the reference's th), then
+    re-estimate the Sim3 on the widened match set and re-count inliers.
+
+    Returns (S_refined [8], n_total_matches).
+    """
+    cam = cfg.camera
+    # loop-KF features with valid depth -> camera-frame 3-D
+    depth_b = m.kf_feat_depth[kf_loop]
+    valid_b = m.kf_feat_valid[kf_loop] & (depth_b > 0)
+    pb = backproject(cam, m.kf_feat_xy[kf_loop], depth_b)
+    # into the current KF's camera through S_ab, then project
+    pb_in_a = se3.sim3_apply(S_ab[None], pb)
+    from ..geometry.camera import project
+
+    proj = project(cam, pb_in_a)
+    N = pb.shape[0]
+    idx, ok, dist = search.search_by_projection(
+        proj, jnp.full(N, 7.5), m.kf_feat_level[kf_loop],
+        m.kf_feat_desc[kf_loop], valid_b & (pb_in_a[:, 2] > 0.1),
+        m.kf_feat_xy[kf_cur], m.kf_feat_level[kf_cur],
+        m.kf_feat_desc[kf_cur], m.kf_feat_valid[kf_cur],
+        level_window=1, max_dist=cfg.matcher.th_high,
+        scale_factor=cfg.orb.scale_factor)
+    ok = search.resolve_duplicate_targets(idx, ok, dist, m.n_feat)
+    # matched current-KF features need depth for the 3-D Horn re-estimate
+    depth_a = m.kf_feat_depth[kf_cur][idx]
+    ok3 = ok & (depth_a > 0)
+    pa = backproject(cam, m.kf_feat_xy[kf_cur][idx], depth_a)
+    uva = m.kf_feat_xy[kf_cur][idx]
+    uvb = m.kf_feat_xy[kf_loop]
+
+    S_ref = sim3.horn_alignment(pb, pa, ok3.astype(jnp.float32),
+                                fix_scale=True)
+    # two-way reprojection inlier count at the refined Sim3
+    pb_in_a2 = se3.sim3_apply(S_ref[None], pb)
+    e1 = jnp.sum((project(cam, pb_in_a2) - uva) ** 2, -1)
+    pa_in_b = se3.sim3_apply(se3.sim3_inverse(S_ref)[None], pa)
+    e2 = jnp.sum((project(cam, pa_in_b) - uvb) ** 2, -1)
+    inl = ok3 & (e1 < 9.21) & (e2 < 9.21)
+    n = jnp.sum(inl.astype(jnp.int32))
+    S_final = sim3.horn_alignment(pb, pa, inl.astype(jnp.float32),
+                                  fix_scale=True)
+    return S_final, n
+
+
 @jax.jit
 def _apply_correction(m: ms.MapState, old_poses, new_poses) -> ms.MapState:
     """Move every map point through its reference keyframe's correction and
@@ -102,7 +153,8 @@ class LoopCloser:
 
     def __init__(self, cfg: SlamConfig, vocab=None):
         self.cfg = cfg
-        self.vocab = vocab if vocab is not None else vocab_mod.random_vocab()
+        # default = the packaged trained vocabulary asset (ORBvoc.bin role)
+        self.vocab = vocab if vocab is not None else vocab_mod.default_vocab()
         K = cfg.capacity.max_keyframes
         self.bow_db = jnp.zeros((K, self.vocab.n_words), jnp.float32)
         self.db_valid = jnp.zeros(K, bool)
@@ -175,10 +227,15 @@ class LoopCloser:
         S_ab, inl, n = sim3.ransac_sim3(
             cfg.camera, pa, pb, uva, uvb, ok,
             jax.random.PRNGKey(kf_id), iters=128, fix_scale=True)
-        # final gate at the reference's stricter widened-match threshold
-        # (LoopClosing.cc:375-391 accepts only >= 40 total) — self-similar
-        # scenes produce geometrically consistent 20-inlier false loops
-        if int(n) < cfg.loop.min_total_matches:
+        if int(n) < cfg.loop.min_sim3_inliers:
+            return None
+        # SearchBySim3 widening + refine (LoopClosing.cc:323-391): gather
+        # additional correspondences through the candidate Sim3, then gate
+        # at the reference's stricter total-match threshold (>= 40) —
+        # self-similar scenes produce 20-inlier false loops
+        S_ab, n_total = _widen_sim3(cfg, m, jnp.asarray(kf_id),
+                                    jnp.asarray(hit), S_ab)
+        if int(n_total) < cfg.loop.min_total_matches:
             return None
 
         # loop accepted: essential-graph optimization
@@ -266,6 +323,24 @@ class LoopCloser:
             lambda q, t: se3.se3_make(se3.quat_normalize(q), t))(
             new_poses[:, :4], new_poses[:, 4:7])
         m = _apply_correction(m, old_poses, new_poses)
+
+        # post-correction duplicate fusion (SearchAndFuse,
+        # LoopClosing.cc:542-613): with the loop closed, loop-side and
+        # current-side points now project onto the same features — merge
+        # them in the current keyframe and its temporal neighbor
+        from ..mapstate import maintenance as mt
+
+        m = mt.fuse_duplicates(self.cfg.camera, m, jnp.asarray(kf_cur),
+                               scale_factor=self.cfg.orb.scale_factor,
+                               max_candidates=self.cfg.capacity.local_points)
+        prev = mt.prev_valid_kf(m, jnp.asarray(kf_cur))
+        m = jax.lax.cond(
+            prev >= 0,
+            lambda mm: mt.fuse_duplicates(
+                self.cfg.camera, mm, jnp.maximum(prev, 0),
+                scale_factor=self.cfg.orb.scale_factor,
+                max_candidates=self.cfg.capacity.local_points),
+            lambda mm: mm, m)
 
         # full-map BA after the graph correction (the reference spawns
         # RunGlobalBundleAdjustment here, LoopClosing.cc:575-579)

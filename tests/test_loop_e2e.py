@@ -1,0 +1,125 @@
+"""End-to-end loop closure: a camera circuit in a closed room with injected
+odometry drift. The loop must (a) NOT fire while the map is clean (no false
+positives), (b) fire on the drifted revisit, and (c) measurably cut the
+keyframe-trajectory ATE — the contract of LoopClosing::DetectLoop ->
+ComputeSim3 -> CorrectLoop -> RunGlobalBundleAdjustment
+(/root/reference/src/sg-slam/src/LoopClosing.cc:103-749).
+
+Drift injection: every keyframe pose is warped by a progressive world-frame
+transform D_k = exp((k/K) * xi_drift) and each map point follows its
+reference keyframe — the map stays LOCALLY consistent (tracking continues
+normally) but is globally bent, exactly the structure of accumulated VO
+drift. The tracker then closes the circuit against the drifted map; start-
+region points no longer project near their true features, so the revisit
+keyframes share no observations with the early ones and loop detection is
+the only way back.
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgslam_tpu import config
+from sgslam_tpu.eval import ate
+from sgslam_tpu.geometry import se3
+from sgslam_tpu.io import synthetic
+from sgslam_tpu.slam import loop_closing
+from sgslam_tpu.slam.system import System
+
+CFG = config.synthetic_config(
+    width=320, height=240,
+    orb=config.OrbConfig(n_features=600, max_keypoints=640),
+    tracker=config.TrackerConfig(max_frames_between_kf=4,
+                                 depth_threshold_factor=70.0),
+    capacity=config.MapCapacity(max_keyframes=64, max_points=8192,
+                                local_window=4, local_points=1024),
+)
+N = 86                      # 1.075 circuits: revisit + a bit beyond
+N_PHASE1 = 70               # drift is injected here (~0.88 of the circuit)
+DRIFT_XI = np.array([0.22, 0.0, 0.10, 0.0, 0.06, 0.0], np.float32)
+
+
+def _inject_drift(tracker):
+    """Warp keyframe poses + points by progressive world drift D_k."""
+    m = tracker.map
+    K = m.max_kf
+    n_kf = int(m.next_kf)
+    frac = np.clip(np.arange(K, dtype=np.float32) / max(n_kf - 1, 1), 0, 1)
+    xi = jnp.asarray(frac[:, None] * DRIFT_XI[None, :])
+    D = jax.vmap(se3.se3_exp)(xi)                       # [K,7] world warps
+    new_poses = jax.vmap(
+        lambda T, d: se3.se3_compose(T, se3.se3_inverse(d)))(m.kf_pose, D)
+    tracker.map = loop_closing._apply_correction(m, m.kf_pose, new_poses)
+    # move the live tracking state into the drifted frame
+    d_last = D[n_kf - 1]
+    tracker.Tcw = se3.se3_compose(jnp.asarray(tracker.Tcw),
+                                  se3.se3_inverse(d_last))
+    tracker.last_Tcw = se3.se3_compose(jnp.asarray(tracker.last_Tcw),
+                                       se3.se3_inverse(d_last))
+
+
+def _kf_ate(m, gt_poses_wc):
+    """ATE RMSE of keyframe camera centers vs ground truth."""
+    valid = np.asarray(m.kf_valid)
+    fids = np.asarray(m.kf_frame_id)[valid]
+    est_wc = np.stack([np.asarray(se3.se3_inverse(p))
+                       for p in np.asarray(m.kf_pose)[valid]])
+    gt_wc = np.stack([np.asarray(gt_poses_wc[f]) for f in fids])
+    rmse, _, _ = ate.ate_rmse(est_wc, gt_wc)
+    return rmse
+
+
+@pytest.fixture(scope="module")
+def loop_run():
+    poses = synthetic.make_circuit_trajectory(N, loops=1.075)
+    seq = synthetic.SyntheticSequence(CFG.camera, n_frames=N,
+                                      planes=synthetic.ROOM_CLOSED,
+                                      poses=poses)
+    s = System(CFG, enable_semantic=False, enable_mapping=False)
+    for i in range(N_PHASE1):
+        g, d = seq.frame(i)
+        s.track_rgbd(g, d)
+    assert s.state == "OK", "tracking must survive the circuit"
+    n_loops_clean = len(s.loop.loops_closed)
+
+    _inject_drift(s.tracker)
+    ate_drifted = _kf_ate(s.tracker.map, poses)
+
+    for i in range(N_PHASE1, N):
+        g, d = seq.frame(i)
+        s.track_rgbd(g, d)
+    ate_final = _kf_ate(s.tracker.map, poses)
+    return s, n_loops_clean, ate_drifted, ate_final
+
+
+def test_no_false_loops_before_drift(loop_run):
+    s, n_loops_clean, _, _ = loop_run
+    assert n_loops_clean == 0, "loop fired on a clean, covisible revisit"
+
+
+def test_loop_fires_on_drifted_revisit(loop_run):
+    s, _, _, _ = loop_run
+    assert len(s.loop.loops_closed) >= 1, "loop never closed"
+    cur, hit = s.loop.loops_closed[0]
+    assert hit < cur, "loop candidate should be an earlier keyframe"
+
+
+def test_loop_closure_reduces_ate(loop_run):
+    s, _, ate_drifted, ate_final = loop_run
+    # injected drift is ~25 cm at the trajectory end; the essential-graph +
+    # global-BA correction must cut keyframe ATE by a measured factor
+    assert ate_drifted > 0.04, f"drift injection too small: {ate_drifted}"
+    assert ate_final < ate_drifted / 2.0, (
+        f"ATE {ate_drifted:.3f} -> {ate_final:.3f}: loop correction "
+        f"did not reduce error enough")
+
+
+def test_tracking_state_consistent_after_correction(loop_run):
+    s, _, _, _ = loop_run
+    assert s.state == "OK"
+    m = s.tracker.map
+    assert bool(jnp.all(jnp.isfinite(m.kf_pose)))
+    assert bool(jnp.all(jnp.isfinite(m.pt_pos)))
