@@ -1,15 +1,18 @@
-"""Driver benchmark: steady-state tracking throughput on the real TPU chip.
+"""Driver benchmark: steady-state FULL-pipeline throughput on the real TPU.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 Baseline = 30 FPS (the reference's real-time envelope on its PC-class
 hardware: 30 FPS camera input with real-time pacing, BASELINE.md).
 
-The measured step is the full per-frame SLAM hot path at TUM geometry
-(640x480, 1000 ORB features): pyramid ORB extraction + RGB-D attach +
-local-map association (two windowed searches + brute-force fallback branch)
-+ two motion-only bundle adjustments — i.e. everything the reference's
-Tracking thread does per frame except the semantic detector (benched
-separately once the detection head lands).
+The measured step is the COMPLETE per-frame semantic SLAM pipeline at TUM
+geometry (640x480, 1000 ORB features) on a dynamic scene: SSD person
+detection (300x300), pyramid ORB extraction, LK-flow + F-RANSAC + epipolar
+dynamic-feature rejection, two-stage local-map association, two motion-only
+bundle adjustments, the keyframe decision, and — on keyframe steps — map
+insertion, point culling, triangulation, duplicate fusion, windowed Schur
+local BA, and keyframe culling. Everything the reference's six threads do
+per frame except loop closing (event-driven) and dense point-cloud export.
+One dispatch per 8-frame chunk (slam/scan_pipeline.make_semantic_chunk).
 """
 
 import json
@@ -28,47 +31,50 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 
 def main():
     from sgslam_tpu import config
-    from sgslam_tpu.geometry import se3
     from sgslam_tpu.io import synthetic
-    from sgslam_tpu.slam import tracking
+    from sgslam_tpu.models.detector import Detector2D
+    from sgslam_tpu.slam import scan_pipeline
 
     cfg = config.synthetic_config(width=640, height=480)
-    n_frames = 40
+    chunk = 4
+    n_boot = 6
+    n_frames = n_boot + 26 * chunk        # one continuous pass, no replay
 
-    # Pre-render frames (renderer is jitted; runs on the same chip)
-    seq = synthetic.SyntheticSequence(cfg.camera, n_frames=n_frames)
+    # Pre-render a dynamic scene (walking person) on the same chip
+    seq = synthetic.SyntheticSequence(cfg.camera, n_frames=n_frames,
+                                      dynamic=True)
     frames = [seq.frame(i) for i in range(n_frames)]
     jax.block_until_ready(frames)
 
-    # Build a small map with the first frames
-    from sgslam_tpu.slam import scan_pipeline
-
-    chunk = 8
-    ct = scan_pipeline.ChunkedTracker(cfg, chunk=chunk)
-    for i in range(6):
+    detector = Detector2D(cfg.detector)
+    ct = scan_pipeline.ChunkedSemanticTracker(cfg, detector, chunk=chunk)
+    for i in range(n_boot):
         ct.bootstrap(*frames[i])
     assert ct.inner.state == "OK", "bench tracker failed to initialize"
 
     # stack chunks once (device-side)
-    g = jnp.stack([f[0] for f in frames[6:6 + 32]]).reshape(4, chunk,
-                                                            480, 640)
-    d = jnp.stack([f[1] for f in frames[6:6 + 32]]).reshape(4, chunk,
-                                                            480, 640)
-    # warmup/compile
+    n_chunks = (n_frames - n_boot) // chunk
+    g = jnp.stack([f[0] for f in frames[n_boot:]]).reshape(
+        n_chunks, chunk, 480, 640)
+    d = jnp.stack([f[1] for f in frames[n_boot:]]).reshape(
+        n_chunks, chunk, 480, 640)
+    # first two chunks absorb compiles (both pending-KF cond branches)
     ct.process_chunk(g[0], d[0])
+    ct.process_chunk(g[1], d[1])
 
     t0 = time.perf_counter()
-    reps = 4
     n_steps = 0
-    for _ in range(reps):
-        for c in range(4):
-            ct.process_chunk(g[c], d[c])
-            n_steps += chunk
+    for c in range(2, n_chunks):
+        ct.process_chunk(g[c], d[c])
+        n_steps += chunk
+    ct.flush()
     dt = time.perf_counter() - t0
     fps = n_steps / dt
 
+    assert min(ct.n_inliers_hist) >= 30, (
+        f"tracking lost during bench: {min(ct.n_inliers_hist)}")
     print(json.dumps({
-        "metric": "tracking_fps_640x480_1000feat",
+        "metric": "full_semantic_pipeline_fps_640x480_1000feat",
         "value": round(fps, 2),
         "unit": "frames/s",
         "vs_baseline": round(fps / 30.0, 3),

@@ -196,15 +196,27 @@ int png_decode(const char* path, uint8_t* out, size_t out_cap, int* width,
                         channels, bit_depth);
 }
 
-int png_encode(const char* path, const uint8_t* data, int width, int height,
-               int channels) {
+int png_encode_ex(const char* path, const uint8_t* data, int width,
+                  int height, int channels, int bit_depth) {
   if (channels != 1 && channels != 3) return 1;
-  const size_t stride = size_t(width) * channels;
+  if (bit_depth != 8 && bit_depth != 16) return 1;
+  if (bit_depth == 16 && channels != 1) return 1;  // gray16 only
+  const size_t bytes_pp = bit_depth / 8;
+  const size_t stride = size_t(width) * channels * bytes_pp;
   std::vector<uint8_t> raw(size_t(height) * (stride + 1));
   for (int y = 0; y < height; ++y) {
     uint8_t* row = raw.data() + size_t(y) * (stride + 1);
     row[0] = 0;  // filter: none
-    std::memcpy(row + 1, data + size_t(y) * stride, stride);
+    const uint8_t* src = data + size_t(y) * stride;
+    if (bit_depth == 16) {
+      // PNG stores 16-bit samples big-endian; input is host (little) endian
+      for (int x = 0; x < width; ++x) {
+        row[1 + 2 * x] = src[2 * x + 1];
+        row[1 + 2 * x + 1] = src[2 * x];
+      }
+    } else {
+      std::memcpy(row + 1, src, stride);
+    }
   }
   uLongf bound = compressBound(raw.size());
   std::vector<uint8_t> comp(bound);
@@ -237,7 +249,7 @@ int png_encode(const char* path, const uint8_t* data, int width, int height,
   ihdr[5] = uint8_t(uint32_t(height) >> 16);
   ihdr[6] = uint8_t(uint32_t(height) >> 8);
   ihdr[7] = uint8_t(height);
-  ihdr[8] = 8;  // bit depth
+  ihdr[8] = uint8_t(bit_depth);
   ihdr[9] = channels == 1 ? 0 : 2;
   ihdr[10] = ihdr[11] = ihdr[12] = 0;
   chunk("IHDR", ihdr, 13);
@@ -245,6 +257,11 @@ int png_encode(const char* path, const uint8_t* data, int width, int height,
   chunk("IEND", nullptr, 0);
   std::fclose(f);
   return 0;
+}
+
+int png_encode(const char* path, const uint8_t* data, int width, int height,
+               int channels) {
+  return png_encode_ex(path, data, width, height, channels, 8);
 }
 
 }  // extern "C"

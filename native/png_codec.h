@@ -32,4 +32,9 @@ int png_decode_mem(const uint8_t* buf, size_t len, uint8_t* out,
 int png_encode(const char* path, const uint8_t* data, int width, int height,
                int channels);
 
+// bit_depth 8 (gray/RGB) or 16 (gray16, e.g. TUM depth maps; input samples
+// host-endian uint16). Returns 0 on success.
+int png_encode_ex(const char* path, const uint8_t* data, int width,
+                  int height, int channels, int bit_depth);
+
 }  // extern "C"

@@ -83,6 +83,13 @@ class DynamicConfig:
     flow_levels: int = 3            # LK pyramid levels
     flow_window: int = 11           # LK window size
     flow_iters: int = 10
+    # windowed-ORB frame-to-frame correspondence search radius (px at
+    # level 0) — the production substitute for LK flow on TPU
+    match_radius: float = 24.0
+    # cull keypoints inside person boxes that found NO correspondence
+    # (fast movers escape any finite search window; stronger than the
+    # reference's matched-only cull)
+    cull_unmatched_in_box: bool = True
     ransac_iters: int = 256         # F-matrix RANSAC hypotheses (batched)
     ransac_thresh: float = 1.0      # Sampson/epipolar inlier threshold (px)
 

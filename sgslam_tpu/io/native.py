@@ -64,6 +64,10 @@ def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
         lib.png_encode.restype = ctypes.c_int
         lib.png_encode.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
                                    ctypes.c_int, ctypes.c_int, ctypes.c_int]
+        lib.png_encode_ex.restype = ctypes.c_int
+        lib.png_encode_ex.argtypes = [ctypes.c_char_p, ctypes.c_void_p,
+                                      ctypes.c_int, ctypes.c_int,
+                                      ctypes.c_int, ctypes.c_int]
         # --- dataset ---
         lib.tum_open.restype = ctypes.c_void_p
         lib.tum_open.argtypes = [ctypes.POINTER(ctypes.c_char_p),
@@ -83,6 +87,9 @@ def load_library(build: bool = True) -> Optional[ctypes.CDLL]:
         lib.bq_push.restype = ctypes.c_int
         lib.bq_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                 ctypes.c_int64]
+        lib.bq_try_push.restype = ctypes.c_int
+        lib.bq_try_push.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
+                                    ctypes.c_int64]
         lib.bq_pop.restype = ctypes.c_int64
         lib.bq_pop.argtypes = [ctypes.c_void_p, ctypes.c_void_p,
                                ctypes.c_int64]
@@ -136,33 +143,44 @@ def png_read(path: str) -> np.ndarray:
 
 
 def png_write(path: str, img: np.ndarray) -> None:
-    """Encode u8 gray [H,W] or RGB [H,W,3]. Pure-zlib Python fallback."""
-    img = np.ascontiguousarray(img, np.uint8)
+    """Encode gray8 [H,W], RGB8 [H,W,3], or gray16 [H,W] (uint16, e.g. TUM
+    depth maps). Pure-zlib Python fallback."""
+    img = np.ascontiguousarray(img)
+    if img.dtype == np.uint16:
+        bit_depth = 16
+        assert img.ndim == 2, "16-bit PNGs are grayscale only"
+    else:
+        bit_depth = 8
+        img = img.astype(np.uint8, copy=False)
     channels = 1 if img.ndim == 2 else img.shape[2]
     lib = load_library()
     if lib is not None:
-        rc = lib.png_encode(path.encode(),
-                            img.ctypes.data_as(ctypes.c_void_p),
-                            img.shape[1], img.shape[0], channels)
+        rc = lib.png_encode_ex(path.encode(),
+                               img.ctypes.data_as(ctypes.c_void_p),
+                               img.shape[1], img.shape[0], channels,
+                               bit_depth)
         if rc != 0:
             raise IOError(f"png_encode({path}) failed: rc={rc}")
         return
-    _png_write_py(path, img, channels)
+    _png_write_py(path, img, channels, bit_depth)
 
 
-def _png_write_py(path: str, img: np.ndarray, channels: int) -> None:
+def _png_write_py(path: str, img: np.ndarray, channels: int,
+                  bit_depth: int = 8) -> None:
     import struct
     import zlib
 
     h, w = img.shape[:2]
+    if bit_depth == 16:
+        img = img.astype(">u2")        # PNG samples are big-endian
     raw = b"".join(b"\x00" + img[y].tobytes() for y in range(h))
 
     def chunk(tag, data):
         return (struct.pack(">I", len(data)) + tag + data
                 + struct.pack(">I", zlib.crc32(tag + data)))
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 0 if channels == 1 else 2,
-                       0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, bit_depth,
+                       0 if channels == 1 else 2, 0, 0, 0)
     with open(path, "wb") as f:
         f.write(b"\x89PNG\r\n\x1a\n")
         f.write(chunk(b"IHDR", ihdr))
@@ -260,7 +278,13 @@ class ByteQueue:
         self._q = lib.bq_create(capacity)
 
     def push(self, data: bytes) -> bool:
+        """Blocking push; False if the queue is closed."""
         rc = self._lib.bq_push(self._q, data, len(data))
+        return rc == 0
+
+    def try_push(self, data: bytes) -> bool:
+        """Non-blocking push; False when full or closed."""
+        rc = self._lib.bq_try_push(self._q, data, len(data))
         return rc == 0
 
     def pop(self) -> Optional[bytes]:

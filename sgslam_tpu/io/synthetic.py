@@ -128,24 +128,97 @@ def render_frame(cam: Camera, T_wc, obj_center=None, obj_half: float = 0.35,
         best_col = jnp.where(closer, col, best_col)
 
     if obj_center is not None:
-        # dynamic quad: axis-aligned, at z = obj_center_z, facing the camera
-        n = jnp.array([0.0, 0.0, -1.0])
-        plane_d = -obj_center[2]
-        denom = jnp.einsum("hwc,c->hw", d_w, n)
-        t = (plane_d - jnp.dot(n, o)) / jnp.where(jnp.abs(denom) < 1e-6,
-                                                  jnp.inf, denom)
-        p = o[None, None, :] + t[..., None] * d_w
-        inside = ((jnp.abs(p[..., 0] - obj_center[0]) < obj_half)
-                  & (jnp.abs(p[..., 1] - obj_center[1]) < obj_half * obj_depth_ofs)
-                  & (t > 0.05))
-        col = texture(p[..., 0] - obj_center[0], p[..., 1] - obj_center[1],
-                      seed=9.0)
-        closer = inside & (t < best_t)
-        best_t = jnp.where(closer, t, best_t)
-        best_col = jnp.where(closer, col, best_col)
+        # dynamic "person": capsule silhouette (body ellipse + head circle)
+        # on a fronto-parallel plane — the walking-people stand-in of
+        # fr3/walking_* and the detector's training distribution
+        person = jnp.concatenate([obj_center,
+                                  jnp.array([obj_half * 1.3, 9.0])])
+        best_t, best_col = _composite_people(o, d_w, person[None, :],
+                                             best_t, best_col)
 
     depth = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
     return best_col.astype(jnp.float32), depth.astype(jnp.float32)
+
+
+def person_texture(px, py, seed):
+    """High-contrast two-scale stripe texture — visually distinct from the
+    walls' random checker, with rich FAST response."""
+    a = jnp.sin(18.0 * py + 7.1 * seed) * jnp.sin(11.0 * px + 2.3 * seed)
+    b = jnp.sin(41.0 * (px + py) + 3.7 * seed)
+    return jnp.clip(0.15 + 0.55 * (a > 0) + 0.25 * (b > 0), 0.0, 1.0)
+
+
+def _person_mask(px, py, cx, cy, half_h):
+    """Capsule silhouette in the person's plane; y points DOWN."""
+    w = 0.40 * half_h
+    body = (((px - cx) / w) ** 2
+            + ((py - (cy + 0.28 * half_h)) / (0.72 * half_h)) ** 2) < 1.0
+    hr = 0.30 * half_h
+    head = ((px - cx) ** 2 + (py - (cy - 0.70 * half_h)) ** 2) < hr ** 2
+    return body | head
+
+
+def _composite_people(o, d_w, people, best_t, best_col):
+    """Ray-cast `people` [P,5] = (cx, cy, cz, half_h, seed) into the scene
+    (each on its fronto-parallel world plane z = cz). half_h <= 0 disables
+    a row."""
+    n = jnp.array([0.0, 0.0, -1.0])
+    denom = jnp.einsum("hwc,c->hw", d_w, n)
+    for i in range(people.shape[0]):
+        cx, cy, cz, half_h, seed = (people[i, j] for j in range(5))
+        t = (-cz - jnp.dot(n, o)) / jnp.where(jnp.abs(denom) < 1e-6,
+                                              jnp.inf, denom)
+        p = o[None, None, :] + t[..., None] * d_w
+        inside = (_person_mask(p[..., 0], p[..., 1], cx, cy, half_h)
+                  & (t > 0.05) & (half_h > 0))
+        col = person_texture(p[..., 0] - cx, p[..., 1] - cy, seed)
+        closer = inside & (t < best_t)
+        best_t = jnp.where(closer, t, best_t)
+        best_col = jnp.where(closer, col, best_col)
+    return best_t, best_col
+
+
+@partial(jax.jit, static_argnums=(0, 3))
+def render_frame_people(cam: Camera, T_wc, people, planes=ROOM):
+    """Render with multiple person capsules ([P,5] rows of
+    (cx, cy, cz, half_h, tex_seed); half_h <= 0 disables). Returns
+    (gray, depth) like render_frame — the detector-training renderer."""
+    gray, depth = render_frame(cam, T_wc, None, planes=planes)
+    H, W = cam.height, cam.width
+    uu = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)
+    vv = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, axis=1)
+    dx = (uu - cam.cx) / cam.fx
+    dy = (vv - cam.cy) / cam.fy
+    d_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)
+    q_wc = T_wc[:4]
+    o = T_wc[4:7]
+    d_w = se3.quat_rotate(q_wc[None, None, :], d_cam)
+    best_t = jnp.where(depth > 0, depth, jnp.inf)
+    best_t, best_col = _composite_people(o, d_w, people, best_t, gray)
+    depth = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
+    return best_col.astype(jnp.float32), depth.astype(jnp.float32)
+
+
+def person_gt_box(cam: Camera, T_cw, person):
+    """Ground-truth pixel box (x1, y1, x2, y2) of a person capsule, plus a
+    visibility flag. T_cw: world->camera pose [7]."""
+    cx, cy, cz, half_h = person[0], person[1], person[2], person[3]
+    w = 0.40 * half_h
+    corners = jnp.stack([
+        jnp.stack([cx - w, cy - half_h, cz]),
+        jnp.stack([cx + w, cy - half_h, cz]),
+        jnp.stack([cx - w, cy + half_h, cz]),
+        jnp.stack([cx + w, cy + half_h, cz])])
+    pc = se3.se3_apply(T_cw[None], corners)
+    z_ok = jnp.all(pc[:, 2] > 0.05) & (half_h > 0)
+    uv = jnp.stack([cam.fx * pc[:, 0] / pc[:, 2] + cam.cx,
+                    cam.fy * pc[:, 1] / pc[:, 2] + cam.cy], -1)
+    x1 = jnp.clip(jnp.min(uv[:, 0]), 0, cam.width - 1)
+    y1 = jnp.clip(jnp.min(uv[:, 1]), 0, cam.height - 1)
+    x2 = jnp.clip(jnp.max(uv[:, 0]), 0, cam.width - 1)
+    y2 = jnp.clip(jnp.max(uv[:, 1]), 0, cam.height - 1)
+    visible = z_ok & (x2 - x1 > 2) & (y2 - y1 > 2)
+    return jnp.stack([x1, y1, x2, y2]), visible
 
 
 def make_trajectory(n_frames: int, dtype=jnp.float32):
@@ -162,11 +235,12 @@ def make_trajectory(n_frames: int, dtype=jnp.float32):
 
 
 def object_track(n_frames: int, dtype=jnp.float32):
-    """World path of the dynamic quad: strafes left-right in front of wall."""
+    """World path of the dynamic person: strafes left-right close to the
+    camera (a large, feature-rich disturbance like fr3/walking_*'s people)."""
     s = jnp.linspace(0.0, 1.0, n_frames, dtype=dtype)
     cx = 0.9 * jnp.sin(2 * jnp.pi * s * 1.5)
-    cy = 0.1 * jnp.ones_like(s)
-    cz = 2.4 * jnp.ones_like(s)
+    cy = 0.15 * jnp.ones_like(s)
+    cz = 2.0 * jnp.ones_like(s)
     return jnp.stack([cx, cy, cz], axis=-1)
 
 
@@ -213,7 +287,7 @@ class SyntheticSequence:
     def frame(self, i: int):
         obj_c = self.obj[i] if self.dynamic else None
         gray, depth = render_frame(self.cam, self.poses[i], obj_c,
-                                   planes=self.planes)
+                                   obj_half=0.55, planes=self.planes)
         return gray, depth
 
     def gt_pose_wc(self, i: int):

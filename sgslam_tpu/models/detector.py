@@ -167,16 +167,34 @@ def nms_topk(boxes, scores, cls, k: int, iou_thresh: float = 0.45,
     return out_idx, out_ok
 
 
+def default_detector_params():
+    """The packaged trained weights (tools/train_detector.py), or None."""
+    import os
+
+    path = os.path.join(os.path.dirname(os.path.dirname(__file__)),
+                        "assets", "detector.npz")
+    if not os.path.exists(path):
+        return None
+    from .detector_train import load_params
+
+    return load_params(path)
+
+
 class Detector2D:
     """Host facade with the reference Detector2D's exact output contract."""
 
-    def __init__(self, cfg: DetectorConfig, key=None):
+    def __init__(self, cfg: DetectorConfig, key=None, params=None,
+                 pretrained: bool = True):
         self.cfg = cfg
         self.model = SSDLite(num_classes=cfg.num_classes)
         self.anchors = jnp.asarray(make_anchors(cfg.input_size))
-        key = key if key is not None else jax.random.PRNGKey(0)
-        dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3))
-        self.params = self.model.init(key, dummy)
+        if params is None and pretrained:
+            params = default_detector_params()
+        if params is None:
+            key = key if key is not None else jax.random.PRNGKey(0)
+            dummy = jnp.zeros((1, cfg.input_size, cfg.input_size, 3))
+            params = self.model.init(key, dummy)
+        self.params = params
         self._detect = partial(_detect_jit, self.model, self.anchors, cfg)
 
     def detect(self, rgb, image_w: int, image_h: int):

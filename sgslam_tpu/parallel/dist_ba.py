@@ -98,7 +98,18 @@ def make_distributed_ba_step(cam: Camera, mesh: Mesh, n_opt_cams: int,
     C = n_opt_cams
     kf_size = mesh.shape["kf"]
 
-    def step(poses, opt_mask, points, obs_cam, obs_pt, obs_uvr, obs_w):
+    def _cost(poses, points, obs_cam, obs_pt, obs_uvr, obs_w):
+        """Huber-robust total chi2, psum'd over the point shards."""
+        r, _, _ = _residual_jac(cam, poses, points, obs_cam, obs_pt,
+                                obs_uvr)
+        chi2 = jnp.sum(r * r, -1) * obs_w
+        delta2 = jnp.where(obs_uvr[..., 2] >= 0, CHI2_STEREO, CHI2_MONO)
+        rho = jnp.where(chi2 <= delta2, chi2,
+                        2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12))
+                        - delta2)
+        return jax.lax.psum(jnp.sum(rho), "pt")
+
+    def step(poses, opt_mask, points, obs_cam, obs_pt, obs_uvr, obs_w, lam):
         r, Jc, Jp = _residual_jac(cam, poses, points, obs_cam, obs_pt,
                                   obs_uvr)
         chi2 = jnp.sum(r * r, -1) * obs_w
@@ -121,7 +132,12 @@ def make_distributed_ba_step(cam: Camera, mesh: Mesh, n_opt_cams: int,
         bc_local = jnp.zeros((C, 6)).at[obs_cam].add(
             jnp.einsum("ori,or,o->oi", Jc, r, w))
 
-        Hpp_inv = jnp.linalg.inv(Hpp + damping * jnp.eye(3))
+        # LM with RELATIVE (diagonal-proportional) damping — Hessian
+        # entries scale like fx^2 ~ 1e6, so absolute damping leaves the f32
+        # solve ill-conditioned (same scheme as optim/local_ba.py)
+        dpp = jnp.einsum("pii->pi", Hpp)
+        Hpp_inv = jnp.linalg.inv(
+            Hpp + lam * jax.vmap(jnp.diag)(dpp) + 1e-6 * jnp.eye(3))
         M = jnp.einsum("pcis,pst->pcit", A, Hpp_inv)
 
         # ---- 'kf' axis: each shard materializes its camera-block rows of S
@@ -146,7 +162,8 @@ def make_distributed_ba_step(cam: Camera, mesh: Mesh, n_opt_cams: int,
         # Hcc rows were fully summed already; add block diagonal
         S_all = S_all.at[jnp.arange(C), :, jnp.arange(C), :].add(Hcc)
 
-        Sd = S_all.reshape(C * 6, C * 6) + damping * jnp.eye(C * 6)
+        Sd = S_all.reshape(C * 6, C * 6)
+        Sd = Sd + jnp.diag(lam * jnp.diagonal(Sd) + damping)
         dc = jnp.linalg.solve(Sd, -rhs_all.reshape(-1)).reshape(C, 6)
         dc = jnp.where(opt_mask[:, None], dc, 0.0)
 
@@ -156,12 +173,25 @@ def make_distributed_ba_step(cam: Camera, mesh: Mesh, n_opt_cams: int,
         new_poses = jax.vmap(
             lambda T, d: se3.se3_compose(se3.se3_exp(d), T))(poses, dc)
         new_poses = jnp.where(opt_mask[:, None], new_poses, poses)
-        return new_poses, points + dp
+        new_points = points + dp
+
+        # accept only improving steps; adapt damping (distributed LM —
+        # the accept decision psums the same scalar on every device)
+        c_old = _cost(poses, points, obs_cam, obs_pt, obs_uvr, obs_w)
+        c_new = _cost(new_poses, new_points, obs_cam, obs_pt, obs_uvr,
+                      obs_w)
+        improved = c_new < c_old
+        poses = jnp.where(improved, new_poses, poses)
+        points = jnp.where(improved, new_points, points)
+        lam = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-5),
+                        jnp.minimum(lam * 4.0, 1e2))
+        return poses, points, lam
 
     sharded = _shard_map(
         step, mesh=mesh,
-        in_specs=(P(), P(), P("pt"), P("pt"), P("pt"), P("pt"), P("pt")),
-        out_specs=(P(), P("pt")),
+        in_specs=(P(), P(), P("pt"), P("pt"), P("pt"), P("pt"), P("pt"),
+                  P()),
+        out_specs=(P(), P("pt"), P()),
         check_vma=False,
     )
     return jax.jit(sharded)
@@ -172,9 +202,10 @@ def distributed_ba(cam: Camera, mesh: Mesh, poses, opt_mask, points,
     """Run `iters` SPMD GN steps. Arrays must already be device_put with the
     matching NamedShardings (see make_shardings)."""
     step = make_distributed_ba_step(cam, mesh, poses.shape[0])
+    lam = jnp.asarray(1e-3)
     for _ in range(iters):
-        poses, points = step(poses, opt_mask, points, obs_cam, obs_pt,
-                             obs_uvr, obs_w)
+        poses, points, lam = step(poses, opt_mask, points, obs_cam, obs_pt,
+                                  obs_uvr, obs_w, lam)
     return poses, points
 
 

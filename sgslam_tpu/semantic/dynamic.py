@@ -106,6 +106,78 @@ def reject_dynamic(cfg: DynamicConfig, gray_cur, gray_prev, kp_xy, kp_valid,
     return keep, jnp.sum(status.astype(jnp.int32)), n_inl
 
 
+def match_prev_frame(matcher_cfg, scale_factor: float, feats_cur,
+                     prev_xy, prev_level, prev_angle, prev_desc, prev_valid,
+                     radius: float = 24.0):
+    """Frame-to-frame correspondences by windowed ORB matching.
+
+    TPU-first replacement for the LK optical flow at Frame.cc:445: the
+    reference chases per-keypoint image patches (cheap scalar code on CPU,
+    gather-bound on TPU — ~250 ms/frame); descriptor matching is one masked
+    Hamming matrix (MXU/VPU, sub-ms) and yields the same contract — a
+    previous-frame position per current keypoint + a validity status —
+    with rotation-consistency filtering on top.
+
+    Returns (prev_xy_of_cur [N,2], status [N] bool).
+    """
+    from ..matching import search
+
+    N = feats_cur.xy_raw.shape[0]
+    idx, ok, dist = search.search_by_projection(
+        feats_cur.xy_raw, jnp.full(N, radius), feats_cur.level,
+        feats_cur.desc, feats_cur.valid,
+        prev_xy, prev_level, prev_desc, prev_valid,
+        level_window=1, max_dist=matcher_cfg.th_low,
+        scale_factor=scale_factor)
+    ok = search.resolve_duplicate_targets(idx, ok, dist,
+                                          prev_xy.shape[0])
+    if matcher_cfg.check_orientation:
+        dtheta = feats_cur.angle - prev_angle[idx]
+        ok = search.rotation_consistency(dtheta, ok,
+                                         matcher_cfg.histo_length)
+    return prev_xy[idx], ok
+
+
+def reject_dynamic_matched(cfg: DynamicConfig, kp_xy, kp_valid,
+                           prev_xy, status,
+                           person_boxes: Boxes,
+                           prev_dynamic_boxes: Boxes, key):
+    """Dynamic rejection on precomputed frame-to-frame correspondences
+    (steps 2-5 of Frame::RmDynamicPointWithSemanticAndGeometry; step 1 —
+    correspondence search — is `match_prev_frame` or `lk_flow`).
+
+    Returns (keep_mask [N], n_corr, n_inliers_F).
+    """
+    all_boxes = jnp.ones(prev_dynamic_boxes.valid.shape[0], bool)
+    in_prev_dyn = in_any_box(prev_xy, prev_dynamic_boxes, all_boxes)
+    for_f = status & ~in_prev_dyn
+
+    F, inl, n_inl = epipolar.ransac_fundamental(
+        kp_xy, prev_xy, for_f, key,
+        iters=cfg.ransac_iters, thresh=cfg.ransac_thresh)
+
+    dist = epipolar.epipolar_distance(F, kp_xy, prev_xy)
+    in_person = in_any_box(kp_xy, person_boxes,
+                           jnp.ones_like(person_boxes.valid))
+    thresh = jnp.where(in_person, cfg.epi_dist_in_box, cfg.epi_dist_outside)
+    is_dynamic = status & (dist > thresh)
+    if cfg.cull_unmatched_in_box:
+        # stronger than the reference (which only culls points whose flow
+        # succeeded, Frame.cc:563-597): a keypoint inside a confident
+        # person box with NO frame-to-frame correspondence is either on a
+        # fast mover (correspondence left the search window) or
+        # unmatchable — both useless for mapping
+        is_dynamic = is_dynamic | (~status & in_person)
+
+    keep = kp_valid & ~is_dynamic
+    n_total = jnp.sum(kp_valid.astype(jnp.int32))
+    n_keep = jnp.sum(keep.astype(jnp.int32))
+    too_aggressive = n_keep < (cfg.min_survivor_ratio
+                               * n_total.astype(jnp.float32))
+    keep = jnp.where(too_aggressive, kp_valid, keep)
+    return keep, jnp.sum(status.astype(jnp.int32)), n_inl
+
+
 def apply_keep_mask(feats, keep):
     """Culling = masking (replaces the reference's descriptor-row erase)."""
     return dataclasses.replace(feats, valid=feats.valid & keep)

@@ -23,6 +23,7 @@ from ..io import trajectory as traj_io
 from ..mapping.semantic_mapper import SemanticMapper
 from ..semantic import dynamic as dyn_mod
 from ..semantic.dynamic import Boxes
+from ..utils.timing import Metrics
 from . import tracking
 from .loop_closing import LoopCloser
 
@@ -46,11 +47,16 @@ class System:
             self.tracker.on_compaction = self.loop.remap_keyframes
 
         self.prev_gray = None
+        self.prev_feats = None
+        self.last_feats = None
         self.prev_dynamic_boxes = Boxes.empty(cfg.detector.max_boxes)
         self.person_cull_boxes = Boxes.empty(cfg.detector.max_boxes)
         self.object_boxes = None
         self.timestamps: list[float] = []
         self._key = jax.random.PRNGKey(7)
+        # per-stage timing registry (SURVEY.md §5: the reference's profiling
+        # is commented-out chrono blocks; here it is always on)
+        self.metrics = Metrics()
 
     # ------------------------------------------------------------------
     def track_rgbd(self, gray, depth, rgb=None,
@@ -65,34 +71,62 @@ class System:
 
         # 2-D detection on the current frame (device-async; consumed below)
         if self.detector is not None and rgb is not None:
-            (_, person_cull, person_map,
-             objects2d) = self.detector.detect(
-                jnp.asarray(rgb), cfg.camera.width, cfg.camera.height)
+            with self.metrics.timer("detector"):
+                (_, person_cull, person_map,
+                 objects2d) = self.detector.detect(
+                    jnp.asarray(rgb), cfg.camera.width, cfg.camera.height)
             self.person_cull_boxes = person_cull
             self.object_boxes = objects2d
             dynamic_boxes = person_map
         else:
             dynamic_boxes = Boxes.empty(cfg.detector.max_boxes)
 
-        feats = tracking.extract_frame(cfg, gray, depth)
+        with self.metrics.timer("extract"):
+            feats = tracking.extract_frame(cfg, gray, depth)
+        feats_raw = feats   # pre-cull block: next frame's match target
 
-        # semantic + geometric dynamic rejection (SG-SLAM core novelty)
-        if self.enable_semantic and self.prev_gray is not None:
-            self._key, sub = jax.random.split(self._key)
-            keep, _, _ = dyn_mod.reject_dynamic(
-                cfg.dynamic, gray, self.prev_gray, feats.xy_raw,
-                feats.valid, self.person_cull_boxes,
-                self.prev_dynamic_boxes, sub)
-            feats = dyn_mod.apply_keep_mask(feats, keep)
+        # initialization frames have no flow geometry yet: cull purely by
+        # the person boxes so the FIRST keyframe's map contains no moving
+        # points (the nearest-first point budget would otherwise be
+        # dominated by a close walking person)
+        if (self.enable_semantic and self.tracker.state == "NOT_INITIALIZED"
+                and self.detector is not None):
+            inside = dyn_mod.in_any_box(
+                feats.xy_raw, self.person_cull_boxes,
+                jnp.ones_like(self.person_cull_boxes.valid))
+            feats = dyn_mod.apply_keep_mask(feats, ~inside)
 
-        Tcw = self.tracker.process(gray, depth, feats=feats)
+        # semantic + geometric dynamic rejection (SG-SLAM core novelty).
+        # Correspondences come from windowed ORB matching against the
+        # previous frame's (pre-cull) features — the TPU-first form of the
+        # reference's LK flow (see semantic/dynamic.match_prev_frame).
+        if self.enable_semantic and self.prev_feats is not None:
+            with self.metrics.timer("dynamic_cull"):
+                self._key, sub = jax.random.split(self._key)
+                p = self.prev_feats
+                prev_xy, status = dyn_mod.match_prev_frame(
+                    cfg.matcher, cfg.orb.scale_factor, feats,
+                    p.xy_raw, p.level, p.angle, p.desc, p.valid,
+                    radius=cfg.dynamic.match_radius)
+                keep, _, _ = dyn_mod.reject_dynamic_matched(
+                    cfg.dynamic, feats.xy_raw, feats.valid, prev_xy,
+                    status, self.person_cull_boxes,
+                    self.prev_dynamic_boxes, sub)
+                feats = dyn_mod.apply_keep_mask(feats, keep)
+
+        with self.metrics.timer("track"):
+            Tcw = self.tracker.process(gray, depth, feats=feats)
+        self.last_feats = feats   # post-cull features (viz/export)
 
         # relocalization on tracking loss (Tracking::Relocalization path)
         if self.tracker.state == "LOST" and self.loop is not None:
-            T_reloc, n = self.loop.relocalize(self.tracker.map, feats)
+            with self.metrics.timer("relocalize"):
+                T_reloc, n = self.loop.relocalize(self.tracker.map, feats)
+            self.metrics.count("reloc_attempts")
             if T_reloc is not None:
                 self.tracker.force_pose(T_reloc)
                 Tcw = np.asarray(T_reloc)
+                self.metrics.count("reloc_success")
 
         # lost right after init with a tiny map: full reset
         # (Tracking.cc:513-521 "Track lost soon after initialisation")
@@ -102,19 +136,25 @@ class System:
 
         # keyframe side effects: loop closing + semantic mapping
         if self.tracker.kf_inserted:
+            self.metrics.count("keyframes")
             kf_id = self.tracker.last_kf_id
             if self.loop is not None:
-                corrected = self.loop.on_keyframe(self.tracker.map, kf_id)
+                with self.metrics.timer("loop_closing"):
+                    corrected = self.loop.on_keyframe(self.tracker.map,
+                                                      kf_id)
                 if corrected is not None:
+                    self.metrics.count("loops_closed")
                     self.tracker.map = corrected
                     self.tracker.Tcw = corrected.kf_pose[kf_id]
                     self.tracker.last_Tcw = self.tracker.Tcw
             if self.mapper is not None:
-                self.mapper.insert_keyframe(
-                    gray, depth, jnp.asarray(Tcw), dynamic_boxes,
-                    self.object_boxes)
+                with self.metrics.timer("mapping"):
+                    self.mapper.insert_keyframe(
+                        gray, depth, jnp.asarray(Tcw), dynamic_boxes,
+                        self.object_boxes)
 
         self.prev_gray = gray
+        self.prev_feats = feats_raw
         self.prev_dynamic_boxes = dynamic_boxes
         return Tcw
 
@@ -144,6 +184,36 @@ class System:
                       enable_loop=self.loop is not None,
                       enable_mapping=self.mapper is not None,
                       detector=self.detector)
+
+    # -- map checkpoint / resume (the reference's unimplemented TODO,
+    #    System.h:121-123) --
+    def save_checkpoint(self, path: str):
+        """Persist the full map + place-recognition database. A saved
+        checkpoint reopens in localization-only mode (or resumes mapping)."""
+        from ..io import checkpoint as ckpt
+
+        extra = {"Tcw": np.asarray(self.tracker.Tcw),
+                 "frame_id": np.asarray(self.tracker.frame_id)}
+        if self.loop is not None:
+            extra["bow_db"] = np.asarray(self.loop.bow_db)
+            extra["db_valid"] = np.asarray(self.loop.db_valid)
+        ckpt.save_map(path, self.tracker.map, extra)
+
+    def load_checkpoint(self, path: str, localization_only: bool = True):
+        """Restore a saved map; the tracker starts LOST and recovers via
+        relocalization against the restored keyframe database."""
+        from ..io import checkpoint as ckpt
+
+        m, extra = ckpt.load_map(path)
+        self.tracker.map = m
+        self.tracker.n_kf = int(np.asarray(m.kf_valid).sum())
+        self.tracker.last_kf_id = int(np.asarray(m.next_kf)) - 1
+        self.tracker.state = "LOST"
+        if self.loop is not None and "bow_db" in extra:
+            self.loop.bow_db = jnp.asarray(extra["bow_db"])
+            self.loop.db_valid = jnp.asarray(extra["db_valid"])
+        if localization_only:
+            self.activate_localization_mode()
 
     def save_trajectory_tum(self, path: str):
         traj_io.save_tum(path, self.timestamps, self.tracker.poses_cw())

@@ -192,6 +192,7 @@ class Tracker:
         self.last_Tcw = se3.se3_identity()
         self.frame_id = 0
         self.last_kf_frame_id = -999
+        self.ref_matches = 200     # match count at the reference keyframe
         self.n_kf = 0
         self.local_ba_every = local_ba_every
         self.on_compaction = None    # callback(kf_old_to_new, old_valid)
@@ -213,7 +214,10 @@ class Tracker:
             return False
         need_close = (tracked_close < 100) and (untracked_close > 70)
         c1 = since >= t.max_frames_between_kf
-        c2 = n_inliers < 250 * t.kf_tracked_ratio or need_close
+        # relative to the reference keyframe's match count
+        # (Tracking.cc:1085-1113: mnMatchesInliers < nRefMatches*ratio)
+        c2 = (n_inliers < self.ref_matches * t.kf_tracked_ratio
+              or need_close)
         return bool(c1 or (c2 and n_inliers > 15))
 
     def _insert_kf(self, feats, matched):
@@ -314,6 +318,7 @@ class Tracker:
             self.Tcw = Tcw
             if not self.only_tracking and self._need_new_kf(
                     n_inl, int(tracked_close), int(untracked_close)):
+                self.ref_matches = max(n_inl, 30)
                 self._insert_kf(feats, matched)
 
         self.velocity = se3.se3_compose(self.Tcw,

@@ -86,24 +86,26 @@ def test_dist_ba_matches_single_device(rng):
 
     sh = dist_ba.make_shardings(mesh)
     step = dist_ba.make_distributed_ba_step(cam, mesh, C)
-    p1, x1 = step(jax.device_put(poses_gt, sh["replicated"]),
+    p1, x1, _ = step(jax.device_put(poses_gt, sh["replicated"]),
                   jax.device_put(opt_mask, sh["replicated"]),
                   jax.device_put(pts0, sh["pt"]),
                   jax.device_put(jnp.asarray(obs_cam, jnp.int32), sh["pt"]),
                   jax.device_put(obs_pt_local, sh["pt"]),
                   jax.device_put(obs_uvr, sh["pt"]),
-                  jax.device_put(obs_w, sh["pt"]))
+                  jax.device_put(obs_w, sh["pt"]),
+                  jax.device_put(jnp.asarray(1e-3), sh["replicated"]))
 
     mesh1 = dist_ba.make_mesh(1, 1, devices=jax.devices()[:1])
     sh1 = dist_ba.make_shardings(mesh1)
     step1 = dist_ba.make_distributed_ba_step(cam, mesh1, C)
-    p2, x2 = step1(jax.device_put(poses_gt, sh1["replicated"]),
+    p2, x2, _ = step1(jax.device_put(poses_gt, sh1["replicated"]),
                    jax.device_put(opt_mask, sh1["replicated"]),
                    jax.device_put(pts0, sh1["pt"]),
                    jax.device_put(jnp.asarray(obs_cam, jnp.int32), sh1["pt"]),
                    jax.device_put(jnp.asarray(obs_pt_g, jnp.int32),
                                   sh1["pt"]),
                    jax.device_put(obs_uvr, sh1["pt"]),
-                   jax.device_put(obs_w, sh1["pt"]))
+                   jax.device_put(obs_w, sh1["pt"]),
+                   jax.device_put(jnp.asarray(1e-3), sh1["replicated"]))
     np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-4)
     np.testing.assert_allclose(np.asarray(x1), np.asarray(x2), atol=1e-4)

@@ -75,14 +75,17 @@ def test_reject_dynamic_on_synthetic_scene():
     """Features on the moving quad must be culled; static scene survives."""
     # 30-frame sequence -> consecutive frames have video-rate motion
     seq = synthetic.SyntheticSequence(CFG.camera, n_frames=30, dynamic=True)
-    g0, d0 = seq.frame(14)
-    g1, d1 = seq.frame(15)
+    # frames near s=2/3: the person's strafe speed is at its maximum
+    # (at s=1/2 it reverses direction and is momentarily world-static —
+    # a correctly-working cull must NOT fire there)
+    g0, d0 = seq.frame(19)
+    g1, d1 = seq.frame(20)
     feats = orb_mod.extract(g1, ORB, CFG.camera)
 
     # ground-truth dynamic mask: depth differs from static render
     seq_s = synthetic.SyntheticSequence(CFG.camera, n_frames=30,
                                         dynamic=False)
-    _, ds = seq_s.frame(15)
+    _, ds = seq_s.frame(20)
     dyn_px = np.asarray(ds - d1) > 0.3
     xy = np.clip(np.asarray(feats.xy_raw).astype(int), 0,
                  [CFG.camera.width - 1, CFG.camera.height - 1])
@@ -98,11 +101,17 @@ def test_reject_dynamic_on_synthetic_scene():
         score=jnp.full(32, 0.9, jnp.float32),
         valid=jnp.asarray([True] + [False] * 31))
 
-    keep, n_flow, n_inl = dynamic.reject_dynamic(
-        CFG.dynamic, g1, g0, feats.xy_raw, feats.valid, person, person,
-        jax.random.PRNGKey(1))
+    # production correspondence path: windowed ORB matching vs prev frame
+    feats0 = orb_mod.extract(g0, ORB, CFG.camera)
+    prev_xy, status = dynamic.match_prev_frame(
+        CFG.matcher, CFG.orb.scale_factor, feats,
+        feats0.xy_raw, feats0.level, feats0.angle, feats0.desc,
+        feats0.valid, radius=CFG.dynamic.match_radius)
+    keep, n_corr, n_inl = dynamic.reject_dynamic_matched(
+        CFG.dynamic, feats.xy_raw, feats.valid, prev_xy, status,
+        person, person, jax.random.PRNGKey(1))
     keep = np.asarray(keep)
-    assert int(n_flow) > 200
+    assert int(n_corr) > 100
     # most moving-object features culled
     if on_obj.sum() >= 5:
         assert keep[on_obj].mean() < 0.5, (

@@ -21,6 +21,8 @@ from sgslam_tpu.slam import tracking
 CFG = config.synthetic_config(
     width=320, height=240,
     orb=config.OrbConfig(n_features=600, max_keypoints=640),
+    tracker=config.TrackerConfig(max_frames_between_kf=5,
+                                 depth_threshold_factor=70.0),
     capacity=config.MapCapacity(max_keyframes=64, max_points=8192,
                                 local_window=4, local_points=1024),
 )

@@ -136,6 +136,6 @@ def test_extract_object_from_box():
     centroid, size, ok = detector3d.extract_object(
         CFG.camera, pts, uv, valid, box, seq.gt_pose_cw(0))
     assert bool(ok)
-    # quad sits at z ~ 2.4, around x ~ obj_track(0)
+    # the person capsule sits at z ~ 2.0, around x ~ obj_track(0)
     c = np.asarray(centroid)
-    assert abs(c[2] - 2.4) < 0.1, c
+    assert abs(c[2] - 2.0) < 0.1, c
