@@ -48,3 +48,28 @@ def global_ba_step(cfg: SlamConfig, m: ms.MapState, *,
     poses, points, inlier = local_ba.bundle_adjust(
         cfg.camera, prob, iters1=iters // 2, iters2=iters - iters // 2)
     return lm.writeback_ba(m, kf_ids, opt_mask, poses, pids, points)
+
+
+def global_ba_interruptible(cfg: SlamConfig, m: ms.MapState, *,
+                            iters: int = 10, slice_iters: int = 2,
+                            should_abort=None):
+    """Cooperatively cancellable global BA.
+
+    The reference's GBA checks a stop flag between g2o iterations
+    (mbStopGBA / setForceStopFlag, Optimizer.cc:92-97 via
+    LoopClosing.cc:410-423, and mbAbortBA for local BA,
+    Optimizer.cc:655-657): new tracking work preempts a long-running
+    back-end solve. Here the solve is sliced into `slice_iters`-iteration
+    jitted steps with the host `should_abort()` hook polled between
+    slices — every completed slice's result is kept (BA is anytime).
+
+    Returns (map, iterations_completed).
+    """
+    done = 0
+    while done < iters:
+        n = min(slice_iters, iters - done)
+        m = global_ba_step(cfg, m, iters=n)
+        done += n
+        if should_abort is not None and done < iters and should_abort():
+            break
+    return m, done

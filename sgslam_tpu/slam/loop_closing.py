@@ -160,6 +160,10 @@ class LoopCloser:
         self.db_valid = jnp.zeros(K, bool)
         self._consistency: dict[int, int] = {}  # candidate -> streak
         self.loops_closed: list[tuple[int, int]] = []
+        # cooperative-cancel hook for the post-loop global BA (mbStopGBA
+        # role, LoopClosing.cc:410-423): return True to preempt
+        self.should_abort_gba = None
+        self.last_gba_iters = 0
 
     def remap_keyframes(self, kf_old_to_new, old_valid):
         """Follow a map compaction: permute the BoW database rows and the
@@ -343,10 +347,12 @@ class LoopCloser:
             lambda mm: mm, m)
 
         # full-map BA after the graph correction (the reference spawns
-        # RunGlobalBundleAdjustment here, LoopClosing.cc:575-579)
+        # RunGlobalBundleAdjustment here, LoopClosing.cc:575-579);
+        # cooperatively cancellable between iteration slices
         if self.cfg.loop.run_global_ba:
-            from ..optim.global_ba import global_ba_step
+            from ..optim.global_ba import global_ba_interruptible
 
-            m = global_ba_step(self.cfg, m,
-                               iters=self.cfg.loop.global_ba_iters)
+            m, self.last_gba_iters = global_ba_interruptible(
+                self.cfg, m, iters=self.cfg.loop.global_ba_iters,
+                should_abort=self.should_abort_gba)
         return m

@@ -136,3 +136,24 @@ def test_trajectory_follows_keyframe_correction(tracked):
     # frames recorded before the first KF stay raw
     if (refs < 0).any():
         np.testing.assert_allclose(moved[refs < 0], base[refs < 0])
+
+
+def test_global_ba_interruptible(tracked):
+    """Cooperative cancellation (mbStopGBA contract): the abort hook stops
+    the solve between slices, completed slices are kept."""
+    from sgslam_tpu.optim.global_ba import global_ba_interruptible
+
+    m = tracked.map
+    calls = {"n": 0}
+
+    def abort_after_first():
+        calls["n"] += 1
+        return True          # abort at the first poll
+
+    out, done = global_ba_interruptible(CFG, m, iters=10, slice_iters=2,
+                                        should_abort=abort_after_first)
+    assert done == 2 and calls["n"] == 1
+    assert bool(jnp.all(jnp.isfinite(out.kf_pose)))
+    # without an abort hook the full budget runs
+    out2, done2 = global_ba_interruptible(CFG, m, iters=4, slice_iters=2)
+    assert done2 == 4
