@@ -204,6 +204,22 @@ def insert_keyframe(cam, scale_factor: float, m: MapState, feats: Features,
         top_slot].set(jnp.where(new_ok, new_ids, NO_POINT).astype(jnp.int32))
     obs_row = jnp.where(obs_row == NO_POINT, new_pt_for_slot, obs_row)
 
+    # representative-descriptor refresh (MapPoint::
+    # ComputeDistinctiveDescriptors, MapPoint.cc:242: re-pick after new
+    # observations). Running form: adopt the newly observed descriptor
+    # when it has drifted far from the stored representative — keeps the
+    # descriptor tracking the point's current appearance without gathering
+    # every historic observation.
+    from ..matching.hamming import hamming_pairs
+
+    matched_desc = feats.desc  # row i describes feature i
+    mp_safe = jnp.where(matched_point_ids >= 0, matched_point_ids, 0)
+    drift = hamming_pairs(matched_desc, m.pt_desc[mp_safe])
+    adopt = (matched_point_ids >= 0) & (drift > 40)
+    pt_desc = pt_desc.at[
+        jnp.where(adopt, matched_point_ids, m.max_pt)].set(
+        matched_desc, mode="drop")
+
     # found/visible counters (MapPoint::IncreaseVisible/IncreaseFound,
     # MapPoint.cc:120-140): visible = predicted in this KF's frustum,
     # found = actually matched — their ratio drives MapPointCulling.

@@ -124,3 +124,36 @@ def test_compact_map_preserves_structure():
     assert int(m2.kf_obs_point[2, 1]) == int(pt_map[9])
     assert int(m2.kf_obs_point[0, 5]) == ms.NO_POINT
     assert int(m2.pt_first_kf[pt_map[3]]) == int(kf_map[2])
+
+
+def test_descriptor_refresh_on_drift():
+    """A matched point whose observed descriptor drifted far from the
+    stored representative adopts the new one (MapPoint::
+    ComputeDistinctiveDescriptors role, MapPoint.cc:242)."""
+    from sgslam_tpu.ops.orb import Features
+    from sgslam_tpu.geometry import se3 as se3m
+
+    cap = config.MapCapacity(max_keyframes=8, max_points=64)
+    cfg = config.synthetic_config(width=320, height=240, capacity=cap,
+                                  orb=config.OrbConfig(max_keypoints=16))
+    N = 16
+    m = ms.empty_map(cap, N)
+    m = dataclasses.replace(
+        m, pt_valid=m.pt_valid.at[0].set(True),
+        pt_pos=m.pt_pos.at[0].set(jnp.asarray([0.0, 0.0, 2.0])),
+        pt_desc=m.pt_desc.at[0].set(jnp.zeros(8, jnp.uint32)),
+        next_pt=jnp.asarray(1))
+
+    desc = jnp.zeros((N, 8), jnp.uint32)
+    desc = desc.at[0].set(jnp.full(8, 0xFFFFFFFF, jnp.uint32))  # drift 256
+    feats = Features(
+        xy=jnp.zeros((N, 2)), xy_raw=jnp.zeros((N, 2)),
+        response=jnp.zeros(N), angle=jnp.zeros(N),
+        level=jnp.zeros(N, jnp.int32), desc=desc,
+        depth=jnp.full(N, -1.0), u_right=jnp.full(N, -1.0),
+        valid=jnp.zeros(N, bool).at[0].set(True))
+    matched = jnp.full(N, -1, jnp.int32).at[0].set(0)
+    m2 = ms.insert_keyframe(cfg.camera, 1.2, m, feats,
+                            se3m.se3_identity(), 0, matched, 3.0,
+                            max_new_points=8)
+    assert int(np.asarray(m2.pt_desc[0]).sum()) != 0, "descriptor not refreshed"
