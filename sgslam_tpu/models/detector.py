@@ -11,9 +11,9 @@ previous-frame box usage, without blocking the tracking thread).
 
 Architecture: a compact inverted-residual backbone (depthwise-separable,
 MXU-friendly channel counts) with SSD heads on the 1/16 and 1/32 maps.
-Weights are randomly initialized in round 1 — the detection *infrastructure*
-(anchors, decode, fixed-shape NMS, thresholds, person special-casing) is the
-contract; distillation/training of the head is tracked as future work.
+Weights are trained on procedurally rendered person/distractor scenes
+(tools/train_detector.py) and shipped as `assets/detector.npz`; the System
+loads them by default.
 """
 
 from __future__ import annotations

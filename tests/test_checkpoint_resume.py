@@ -43,18 +43,20 @@ def test_checkpoint_save_load_localize(tmp_path):
     assert s2.tracker.only_tracking
 
     n_kf_before = int(np.asarray(m.next_kf))
+    # reloc must recover the pose IN THE MAP'S FRAME — i.e. session 1's own
+    # estimate at that viewpoint (map drift vs ground truth is a property of
+    # the saved map, not of relocalization, and is tested elsewhere)
+    s1_traj = s1.tracker.poses_cw()
     states = []
     errs = []
-    gt0 = jnp.asarray(poses[0])
     for j in (10, 11, 12, 13):        # revisit mapped viewpoints
         g, d = seq.frame(j)
         Tcw = s2.track_rgbd(g, d)
         states.append(s2.state)
-        T_wc = se3.se3_compose(gt0, se3.se3_inverse(jnp.asarray(Tcw)))
         errs.append(float(np.linalg.norm(
-            np.asarray(T_wc)[4:7] - np.asarray(poses[j])[4:7])))
+            np.asarray(Tcw)[4:7] - s1_traj[j][4:7])))
     assert states[-1] == "OK", f"never relocalized after resume: {states}"
     ok_errs = [e for st, e in zip(states, errs) if st == "OK"]
-    assert min(ok_errs) < 0.08, f"resume-localization error: {errs}"
+    assert min(ok_errs) < 0.04, f"resume-localization error: {errs}"
     # localization-only: the restored map gained no keyframes
     assert int(np.asarray(s2.tracker.map.next_kf)) == n_kf_before
