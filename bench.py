@@ -47,7 +47,10 @@ def main():
     jax.block_until_ready(frames)
 
     detector = Detector2D(cfg.detector)
-    ct = scan_pipeline.ChunkedSemanticTracker(cfg, detector, chunk=chunk)
+    # pipeline_depth=1: the host drain of chunk k overlaps the device
+    # execution of chunk k+1 (one chunk in flight)
+    ct = scan_pipeline.ChunkedSemanticTracker(cfg, detector, chunk=chunk,
+                                              pipeline_depth=1)
     for i in range(n_boot):
         ct.bootstrap(*frames[i])
     assert ct.inner.state == "OK", "bench tracker failed to initialize"

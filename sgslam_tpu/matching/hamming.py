@@ -17,10 +17,28 @@ import jax.numpy as jnp
 MAX_DIST = 256
 
 
-def hamming_matrix(a, b):
-    """a: [N,8] uint32, b: [M,8] uint32 -> [N,M] int32 distances."""
+def hamming_matrix_xla(a, b):
+    """Portable XLA formulation: XOR + popcount + reduce on the VPU."""
     x = a[:, None, :] ^ b[None, :, :]
     return jnp.sum(jax.lax.population_count(x).astype(jnp.int32), axis=-1)
+
+
+def hamming_matrix(a, b):
+    """a: [N,8] uint32, b: [M,8] uint32 -> [N,M] int32 distances.
+
+    On TPU this routes to the MXU bit-matmul formulation
+    (ops/pallas_hamming.hamming_matrix_mxu): popcount(a^b) =
+    |a| + |b| - 2*(bits_a @ bits_b^T), one bf16 matmul instead of an
+    [N,M,8] popcount intermediate — the production hot path for every
+    association search (ORBmatcher role). On CPU (tests) the portable
+    XLA popcount wins. Both are exact and bit-identical
+    (tests/test_pallas_hamming.py).
+    """
+    if jax.default_backend() != "cpu":
+        from ..ops.pallas_hamming import hamming_matrix_mxu
+
+        return hamming_matrix_mxu(a, b)
+    return hamming_matrix_xla(a, b)
 
 
 def hamming_pairs(a, b):

@@ -284,9 +284,21 @@ class LoopCloser:
                 jax.random.PRNGKey(int(ci)), iters=256)
             if int(n) > best[1]:
                 best = (Tcw, int(n))
+        if best[0] is None or best[1] < 12:
+            return None, best[1]
+        # projective-widen + re-optimize (Tracking.cc:1569-1606): the PnP
+        # pose seeds a full local-map association + two-stage motion-only
+        # BA — exactly track_step's contract — recovering the 50-inlier
+        # accept the raw PnP pose alone often misses.
+        from . import tracking
+
+        T2, _, n2, _, _ = tracking.track_step(cfg, m, feats, best[0])
+        n2 = int(n2)
+        if n2 >= cfg.tracker.min_inliers_after_reloc:
+            return T2, n2
         if best[1] >= cfg.tracker.min_inliers_after_reloc:
             return best
-        return None, best[1]
+        return None, max(best[1], n2)
 
     def _correct(self, m: ms.MapState, kf_cur: int, kf_loop: int, S_cur_loop,
                  cov):

@@ -36,22 +36,21 @@ def kidnap_run():
         g, d = seq.frame(i)
         s.track_rgbd(g, d)
     assert s.state == "OK" and s.tracker.n_kf > 5
-    pre_kidnap_states = []
+    # the map's own estimate at each revisited viewpoint: relocalization
+    # must recover the pose IN THE MAP'S FRAME — drift accumulated over
+    # the 44 mapped frames is a property of the map, not of reloc (same
+    # rationale as test_checkpoint_resume)
+    own_traj = s.tracker.poses_cw()
 
     # kidnap: feed frames from a viewpoint ~140 degrees away from where the
     # motion model predicts; windowed association must fail -> LOST
-    gt0 = jnp.asarray(poses[0])   # SLAM world = camera-0 frame
     states, errs = [], []
     for j in range(KIDNAP_TO, KIDNAP_TO + 4):
         g, d = seq.frame(j)
         Tcw = s.track_rgbd(g, d)
         states.append(s.state)
-        # estimated pose mapped into the ground-truth frame
-        T_wc_est = se3.se3_compose(gt0,
-                                   se3.se3_inverse(jnp.asarray(Tcw)))
-        T_wc_gt = np.asarray(poses[j])
         errs.append(float(np.linalg.norm(
-            np.asarray(T_wc_est)[4:7] - T_wc_gt[4:7])))
+            np.asarray(Tcw)[4:7] - own_traj[j][4:7])))
     return s, states, errs
 
 
@@ -65,7 +64,7 @@ def test_relocalization_recovers(kidnap_run):
 def test_relocalized_pose_accurate(kidnap_run):
     s, states, errs = kidnap_run
     ok_errs = [e for st, e in zip(states, errs) if st == "OK"]
-    assert ok_errs and min(ok_errs) < 0.08, (
+    assert ok_errs and min(ok_errs) < 0.04, (
         f"relocalized pose error too high: {errs} (states {states})")
 
 
