@@ -56,19 +56,62 @@ def _normalize(pts):
     return ph[..., :2], T
 
 
+def _smallest_eigvec3(B):
+    """Analytic unit eigenvector for the smallest eigenvalue of a
+    symmetric 3x3 matrix (trigonometric eigenvalue formula + row-cross
+    nullspace) — closed form, so it vmaps into pure elementwise code
+    instead of an iterative eigensolver."""
+    q = jnp.trace(B) / 3.0
+    Bq = B - q * jnp.eye(3, dtype=B.dtype)
+    p2 = jnp.sum(Bq * Bq) / 6.0
+    p = jnp.sqrt(jnp.maximum(p2, 1e-30))
+    r = jnp.clip(jnp.linalg.det(Bq / p) / 2.0, -1.0, 1.0)
+    phi = jnp.arccos(r) / 3.0
+    lam_min = q + 2.0 * p * jnp.cos(phi + 2.0 * jnp.pi / 3.0)
+
+    C = B - lam_min * jnp.eye(3, dtype=B.dtype)
+    # the two independent rows of C span the orthogonal complement of the
+    # eigenvector; every pairwise row cross product lies along it
+    c01 = jnp.cross(C[0], C[1])
+    c02 = jnp.cross(C[0], C[2])
+    c12 = jnp.cross(C[1], C[2])
+    cands = jnp.stack([c01, c02, c12])
+    norms = jnp.linalg.norm(cands, axis=-1)
+    v = cands[jnp.argmax(norms)]
+    # (near-)spherical B: any unit vector is an eigenvector
+    v = jnp.where(jnp.max(norms) > 1e-20, v, jnp.array([0.0, 0.0, 1.0]))
+    return v / jnp.maximum(jnp.linalg.norm(v), 1e-20)
+
+
 def eight_point(p1, p2):
-    """Normalized 8-point fundamental estimate from [8,2]+[8,2] points."""
+    """Normalized 8-point fundamental estimate from [8,2]+[8,2] points.
+
+    SVD-free formulation for TPU: the nullspace of A comes from inverse
+    iteration on A^T A (one Cholesky factorization + three triangular
+    solves — batched-friendly dense ops), and the rank-2 projection is
+    F - (F v3) v3^T with v3 the analytic smallest eigenvector of F^T F
+    (equivalent to zeroing the smallest singular value, since
+    F v3 = s3 u3). Iterative SVD is both slow to run and pathologically
+    slow to compile on this backend.
+    """
     n1, T1 = _normalize(p1)
     n2, T2 = _normalize(p2)
     x1, y1 = n1[:, 0], n1[:, 1]
     x2, y2 = n2[:, 0], n2[:, 1]
     A = jnp.stack([x2 * x1, x2 * y1, x2, y2 * x1, y2 * y1, y2, x1, y1,
                    jnp.ones_like(x1)], axis=-1)       # [8,9]
-    _, _, Vt = jnp.linalg.svd(A, full_matrices=True)
-    F = Vt[-1].reshape(3, 3)
-    # enforce rank 2
-    U, S, Vt2 = jnp.linalg.svd(F)
-    F = (U * S.at[2].set(0.0)[None, :]) @ Vt2
+    M = A.T @ A                                        # [9,9] PSD, rank <= 8
+    eps = 1e-9 * jnp.trace(M) + 1e-12
+    chol = jax.scipy.linalg.cho_factor(
+        M + eps * jnp.eye(9, dtype=M.dtype))
+    x = jnp.full((9,), 1.0 / 3.0, M.dtype)
+    for _ in range(3):                                 # inverse iteration
+        x = jax.scipy.linalg.cho_solve(chol, x)
+        x = x / jnp.maximum(jnp.linalg.norm(x), 1e-30)
+    F = x.reshape(3, 3)
+    # rank-2 enforcement: closest rank-2 matrix in Frobenius norm
+    v3 = _smallest_eigvec3(F.T @ F)
+    F = F - jnp.outer(F @ v3, v3)
     return T2.T @ F @ T1
 
 

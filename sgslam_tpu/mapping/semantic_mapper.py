@@ -26,11 +26,17 @@ from ..semantic.objects import ObjectDB, add_object
 
 
 class SemanticMapper:
-    def __init__(self, cfg: SlamConfig, grid_dim: int = 128,
+    def __init__(self, cfg: SlamConfig, grid_dim: int | None = None,
                  global_capacity: int = 1 << 18):
         self.cfg = cfg
         mc = cfg.mapping
-        self.grid = occupancy.empty_grid(grid_dim, 0.05)
+        # occupancy grid CENTERED on the map origin: a grid offset to one
+        # octant silently drops every scan outside it
+        grid_dim = grid_dim if grid_dim is not None else mc.grid_dim // 2
+        voxel = 2.0 * mc.voxel_size            # octomap.launch resolution
+        half = grid_dim * voxel / 2.0
+        self.grid = occupancy.empty_grid(grid_dim, voxel,
+                                         origin=(-half, -half, -half))
         self.objects = ObjectDB.empty(256)
         self.global_pts = np.zeros((global_capacity, 3), np.float32)
         self.global_int = np.zeros(global_capacity, np.float32)

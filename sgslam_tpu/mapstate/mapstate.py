@@ -120,6 +120,27 @@ def incidence_matrix(m: MapState, dtype=jnp.float32):
     return jnp.minimum(inc[:, :P], 1.0)
 
 
+def covisibility_rows(m: MapState, kf_ids, min_weight: int = 15):
+    """[Q, K] shared-point counts between query keyframes and all others,
+    zero-diagonal, thresholded — the per-row form of `covisibility` for
+    hot paths that need a handful of rows without materializing (or
+    fetching) the full [K, K] matrix."""
+    P = m.max_pt
+
+    def one(q):
+        obs_q = m.kf_obs_point[q]                       # [N]
+        member = jnp.zeros(P + 1, jnp.float32).at[
+            jnp.where(obs_q >= 0, obs_q, P)].set(
+            jnp.where(obs_q >= 0, 1.0, 0.0))
+        obs = jnp.where(m.kf_obs_point >= 0, m.kf_obs_point, P)
+        row = jnp.sum(member[obs], axis=1)              # [K]
+        row = row * m.kf_valid * m.kf_valid[q]
+        row = row.at[q].set(0.0)
+        return jnp.where(row >= min_weight, row, 0.0)
+
+    return jax.vmap(one)(kf_ids)
+
+
 def covisibility(m: MapState, min_weight: int = 15):
     """[K, K] shared-point counts, zero-diagonal, thresholded.
 

@@ -34,7 +34,16 @@ def hamming_matrix(a, b):
     XLA popcount wins. Both are exact and bit-identical
     (tests/test_pallas_hamming.py).
     """
-    if jax.default_backend() != "cpu":
+    import os
+
+    mode = os.environ.get("SGSLAM_HAMMING", "")   # bench-sweep override
+    if mode == "xla":
+        return hamming_matrix_xla(a, b)
+    if mode == "pallas":
+        from ..ops.pallas_hamming import hamming_matrix_pallas
+
+        return hamming_matrix_pallas(a, b)
+    if mode == "mxu" or jax.default_backend() != "cpu":
         from ..ops.pallas_hamming import hamming_matrix_mxu
 
         return hamming_matrix_mxu(a, b)

@@ -45,6 +45,37 @@ def _bow_of_kf(vocab, desc, valid):
     return vocab_mod.bow_vector(vocab, words)
 
 
+@partial(jax.jit, donate_argnums=(2, 3))
+def _kf_update(vocab, m, bow_db, db_valid, kf_id):
+    """Fused per-keyframe database update + loop-candidate detection:
+    BoW of the new keyframe, inverted-file row install, covisibility-gated
+    candidate scores, and the top candidates' covisibility rows for the
+    host's streak bookkeeping — ONE dispatch + one small fetch per
+    keyframe (each separate host read is a tunnel round trip)."""
+    desc = m.kf_feat_desc[kf_id]
+    valid = m.kf_feat_valid[kf_id]
+    words = vocab_mod.quantize(vocab, desc, valid)
+    bow = vocab_mod.bow_vector(vocab, words)
+    bow_db = bow_db.at[kf_id].set(bow)
+    db_valid = db_valid.at[kf_id].set(True)
+
+    dbv = db_valid & m.kf_valid
+    cov_row = ms.covisibility_rows(m, kf_id[None])[0]
+    scores = vocab_mod.l1_score(bow, bow_db)
+    covisible = cov_row > 0
+    cov_scores = jnp.where(covisible & dbv, scores, jnp.inf)
+    min_score = jnp.minimum(jnp.min(cov_scores), 1.0)
+    eligible = (dbv & ~covisible
+                & (jnp.arange(bow_db.shape[0]) != kf_id)
+                & (jnp.arange(bow_db.shape[0]) < kf_id - 5))
+    s = jnp.where(eligible & (scores >= jnp.where(jnp.isfinite(min_score),
+                                                  min_score, 0.0)),
+                  scores, -jnp.inf)
+    top_s, top_i = jax.lax.top_k(s, 3)
+    cov_top = ms.covisibility_rows(m, top_i) > 0     # [3,K] for streaks
+    return bow_db, db_valid, top_i, top_s, cov_top
+
+
 @jax.jit
 def _detect_candidates(bow_db, db_valid, query_bow, cov_row, query_id):
     """Loop-candidate scores with the covisibility min-score gate."""
@@ -185,27 +216,18 @@ class LoopCloser:
     def on_keyframe(self, m: ms.MapState, kf_id: int):
         """Update the database; returns a corrected map if a loop closes."""
         cfg = self.cfg
-        desc = m.kf_feat_desc[kf_id]
-        valid = m.kf_feat_valid[kf_id]
-        bow = _bow_of_kf(self.vocab, desc, valid)
-        self.bow_db = self.bow_db.at[kf_id].set(bow)
-        self.db_valid = self.db_valid.at[kf_id].set(True)
-
+        (self.bow_db, self.db_valid, cand_i, cand_s,
+         cov_top) = _kf_update(self.vocab, m, self.bow_db, self.db_valid,
+                               jnp.asarray(kf_id, jnp.int32))
         if kf_id < 10:
             return None
-
-        cov = ms.covisibility(m)
-        cand_i, cand_s = _detect_candidates(
-            self.bow_db, self.db_valid & m.kf_valid, bow, cov[kf_id],
-            jnp.asarray(kf_id))
-        cand_i = np.asarray(cand_i)
-        cand_s = np.asarray(cand_s)
+        # one packed fetch for everything the host inspects
+        cand_i, cand_s, cov_top = jax.device_get((cand_i, cand_s, cov_top))
 
         # temporal consistency bookkeeping (DetectLoop's group streaks)
         new_streaks: dict[int, int] = {}
-        cov_np = np.asarray(cov)
-        hit = None
-        for ci, s in zip(cand_i, cand_s):
+        hits: list[int] = []
+        for k, (ci, s) in enumerate(zip(cand_i, cand_s)):
             if not np.isfinite(s):
                 continue
             ci = int(ci)
@@ -214,38 +236,55 @@ class LoopCloser:
             prev = self._consistency.get(ci, 0)
             if prev == 0:
                 for cj, streak in self._consistency.items():
-                    if cov_np[ci, cj] > 0:
+                    if cj < cov_top.shape[1] and cov_top[k, cj]:
                         prev = max(prev, streak)
             new_streaks[ci] = prev + 1
             if prev + 1 >= cfg.loop.covisibility_consistency_th:
-                hit = ci
+                hits.append(ci)
         self._consistency = new_streaks
+        if not hits:
+            return None
+
+        # geometric verification of EVERY consistency-passing candidate —
+        # the reference RANSACs all candidates and accepts the first that
+        # verifies (LoopClosing::ComputeSim3, LoopClosing.cc:231-400);
+        # single-candidate verification lets one bad top hit kill a loop
+        hit, S_ab = self._verify_candidates(m, kf_id, hits)
         if hit is None:
             return None
 
-        # geometric verification: Sim3 between kf_id and hit
-        pa, pb, uva, uvb, ok = _match_keyframes(cfg, m, jnp.asarray(kf_id),
-                                                jnp.asarray(hit))
-        if int(ok.sum()) < cfg.loop.min_bow_matches:
-            return None
-        S_ab, inl, n = sim3.ransac_sim3(
-            cfg.camera, pa, pb, uva, uvb, ok,
-            jax.random.PRNGKey(kf_id), iters=128, fix_scale=True)
-        if int(n) < cfg.loop.min_sim3_inliers:
-            return None
-        # SearchBySim3 widening + refine (LoopClosing.cc:323-391): gather
-        # additional correspondences through the candidate Sim3, then gate
-        # at the reference's stricter total-match threshold (>= 40) —
-        # self-similar scenes produce 20-inlier false loops
-        S_ab, n_total = _widen_sim3(cfg, m, jnp.asarray(kf_id),
-                                    jnp.asarray(hit), S_ab)
-        if int(n_total) < cfg.loop.min_total_matches:
-            return None
-
-        # loop accepted: essential-graph optimization
+        # loop accepted: essential-graph optimization (the full
+        # covisibility matrix is only materialized on this rare path)
         self.loops_closed.append((int(kf_id), int(hit)))
         self._consistency = {}
-        return self._correct(m, kf_id, hit, S_ab, cov)
+        return self._correct(m, kf_id, hit, S_ab, ms.covisibility(m))
+
+    def _verify_candidates(self, m: ms.MapState, kf_id: int,
+                           hits: list[int]):
+        """Geometric verification: BoW-match gate -> batched Horn RANSAC
+        Sim3 -> SearchBySim3 widening + refine -> total-match gate, per
+        candidate; first verified candidate wins (ComputeSim3 contract).
+        Returns (hit, S_ab) or (None, None)."""
+        cfg = self.cfg
+        for hit in hits:
+            pa, pb, uva, uvb, ok = _match_keyframes(
+                cfg, m, jnp.asarray(kf_id), jnp.asarray(hit))
+            if int(ok.sum()) < cfg.loop.min_bow_matches:
+                continue
+            S_ab, inl, n = sim3.ransac_sim3(
+                cfg.camera, pa, pb, uva, uvb, ok,
+                jax.random.PRNGKey(kf_id), iters=128, fix_scale=True)
+            if int(n) < cfg.loop.min_sim3_inliers:
+                continue
+            # SearchBySim3 widening + refine (LoopClosing.cc:323-391):
+            # gather additional correspondences through the candidate Sim3,
+            # then gate at the reference's stricter total-match threshold
+            # (>= 40) — self-similar scenes produce 20-inlier false loops
+            S_ab, n_total = _widen_sim3(cfg, m, jnp.asarray(kf_id),
+                                        jnp.asarray(hit), S_ab)
+            if int(n_total) >= cfg.loop.min_total_matches:
+                return hit, S_ab
+        return None, None
 
     # ------------------------------------------------------------------
     def relocalize(self, m: ms.MapState, feats):

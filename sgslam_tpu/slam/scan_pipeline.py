@@ -1,27 +1,40 @@
-"""Fully on-device chunked SLAM: N frames per dispatch.
+"""Fully on-device chunked SLAM: N frames per dispatch — the ONE complete
+real-time configuration (tracking + dynamic rejection + mapping back-end +
+loop closing + relocalization + semantic mapping).
 
 Why this exists: the per-call dispatch overhead over the axon TPU tunnel
 (~25-35 ms) dwarfs the per-frame device work, so any host-driven per-frame
 dispatch caps below real time. Here the per-frame pipeline — batched 2-D
 detection, batched ORB extraction, batched semantic+geometric dynamic
 rejection, and a lax.scan of the sequential tracking core — is ONE jitted
-program per chunk.
+program per chunk, and the host drains results only every `fetch_every`
+chunks as ONE small packed transfer.
 
-Architecture notes (measured on the chip, see bench.py):
+Architecture notes (measured on the chip, see bench.py / tools/bench_sweep):
 
   * The MAP IS NOT part of the scan carry. A `lax.cond`'s identity branch
     must copy every carried array, so threading the ~40 MB MapState through
     a per-frame keyframe cond costs more than all the tracking math
     combined. Instead the scan reads the map as a loop-invariant input and
-    only FLAGS keyframe frames; the host applies insert + the back-end
-    maintenance pass (point culling, triangulation, fusion, local BA,
-    KF culling) in separate donated (in-place) dispatches after the chunk.
-    Tracking therefore consumes the map as-of-the-last-completed back-end
-    pass — exactly the reference's Tracking/LocalMapping thread decoupling
-    (System.cc:145-174), with a bounded one-chunk staleness.
-  * Frame-to-frame correspondences for dynamic rejection use windowed ORB
-    matching (MXU Hamming), not per-keypoint LK gathers — see
-    semantic/dynamic.match_prev_frame.
+    only FLAGS keyframe frames; the first flagged frame of a chunk is
+    selected ON DEVICE into a `pending` tuple that the NEXT chunk's program
+    applies (insert + the full LocalMapping maintenance pass) before
+    tracking starts. Tracking therefore consumes the map as-of-the-last-
+    completed back-end pass — exactly the reference's Tracking/LocalMapping
+    thread decoupling (System.cc:145-174), with a bounded one-chunk
+    staleness, and the host never touches feature blocks.
+  * Per-chunk results are packed into ONE [chunk+1, 9] array (pose, inlier
+    count, keyframe flag per frame + a stats row), so draining k chunks is
+    a single device_get of k small buffers — every separate host read of a
+    device value is a tunnel round trip.
+  * Loop closing, relocalization, and semantic mapping run at drain time on
+    the host around jitted stages, behind tracking by at most
+    `fetch_every` chunks — the role of the reference's LoopClosing /
+    PointcloudMapping threads (LoopClosing.cc:57-88,
+    PointcloudMapping.cc:197-247) with queues replaced by the drain
+    boundary. Trajectory frames are recorded relative to their reference
+    keyframe, so loop/GBA corrections retro-correct the full trajectory at
+    export (System::SaveTrajectoryTUM contract, System.cc:424-453).
   * Everything batched (detection convs, extraction, rejection) runs
     vmapped over the chunk — wide, MXU/VPU-friendly shapes — and only the
     irreducibly sequential part (pose tracking) runs in the scan.
@@ -77,9 +90,15 @@ insert_and_maintain = partial(jax.jit, static_argnums=(0,),
 def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False):
     """Build the jitted per-chunk program.
 
-    Returns fn(det_params, m, carry, grays, depths) ->
-      (carry', poses [c,7], n_inl [c], matched [c,N], need_kf [c],
-       feats_culled (batched pytree), dyn_boxes (batched)).
+    Returns fn(det_params, m, carry, grays, depths, pending) ->
+      (m', carry', packed [c+1,9], pending_out, feats_last, kf_dyn_boxes,
+       kf_obj_boxes)
+    where packed rows are [pose(7), n_inliers, need_kf] per frame plus a
+    final stats row [next_kf, next_pt, 0...]; pending_out is the first
+    flagged keyframe of this chunk (selected on device), to be fed back as
+    `pending` of the next chunk; kf_*_boxes are that frame's detections
+    (for the semantic mapper); feats_last is the last frame's culled
+    feature block (for host-side relocalization on tracking loss).
     det_params is ignored when detector is None (pass None).
     """
     t = cfg.tracker
@@ -119,7 +138,12 @@ def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False):
                              & (score[idx]
                                 > dcfg.person_box_conf_for_culling))
                 dyn = Boxes(px, cls[idx], score[idx], keep & is_person)
-                return cull, dyn
+                # non-person detections above the standard confidence gate
+                # feed the 3-D semantic-object pipeline
+                # (Detector2D.cc:85-86 -> mvObjects2D)
+                obj = Boxes(px, cls[idx], score[idx], keep & ~is_person
+                            & (score[idx] > dcfg.conf_threshold))
+                return cull, dyn, obj
 
             return jax.vmap(one)(box_pred, logits)
 
@@ -143,9 +167,10 @@ def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False):
             lambda g, d: tracking.extract_frame(cfg, g, d))(grays, depths)
 
         if detector is not None:
-            cull_boxes, dyn_boxes = detect_batch(det_params, grays)
+            cull_boxes, dyn_boxes, obj_boxes = detect_batch(det_params,
+                                                            grays)
         else:
-            cull_boxes = dyn_boxes = jax.tree.map(
+            cull_boxes = dyn_boxes = obj_boxes = jax.tree.map(
                 lambda x: jnp.broadcast_to(x[None], (n,) + x.shape),
                 Boxes.empty(B))
 
@@ -213,34 +238,96 @@ def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False):
                             frame_id=carry.frame_id + n,
                             prev_feats=last_feats, prev_boxes=last_boxes,
                             key=new_key)
-        # scalars the host needs each chunk, packed into the ONE fetched
-        # array (every separate host read is a tunnel round trip)
-        stats = jnp.stack([m.next_kf, m.next_pt]).astype(jnp.int32)
-        return m, carry2, poses, n_inl, matched, need_kf, feats_culled, stats
+
+        # ---- on-device pending-keyframe selection (first flagged frame) —
+        # the host never inspects feature blocks
+        flag = jnp.any(need_kf)
+        i_kf = jnp.argmax(need_kf)                # first True
+        pending_out = (
+            flag,
+            jax.tree.map(lambda x: x[i_kf], feats_culled),
+            poses[i_kf],
+            carry.frame_id + i_kf.astype(jnp.int32),
+            matched[i_kf],
+        )
+        kf_dyn = jax.tree.map(lambda x: x[i_kf], dyn_boxes)
+        kf_obj = jax.tree.map(lambda x: x[i_kf], obj_boxes)
+
+        # ---- ONE packed result array: [pose(7), n_inl, need_kf] per frame
+        # + stats row [next_kf, next_pt, 0...]
+        rows = jnp.concatenate(
+            [poses, n_inl.astype(jnp.float32)[:, None],
+             need_kf.astype(jnp.float32)[:, None]], axis=1)
+        stats = jnp.zeros((1, 9), jnp.float32).at[0, 0].set(
+            m.next_kf.astype(jnp.float32)).at[0, 1].set(
+            m.next_pt.astype(jnp.float32))
+        packed = jnp.concatenate([rows, stats], axis=0)
+
+        feats_last = jax.tree.map(lambda x: x[-1], feats_culled)
+        return (m, carry2, packed, pending_out, feats_last, kf_dyn, kf_obj)
 
     return jax.jit(chunk_fn, donate_argnums=(1,))
 
 
+@jax.jit
+def _export_traj(poses, ref_pose_ins, ref_pose_now):
+    """Re-anchor recorded frame poses to the CURRENT keyframe poses:
+    T = (T_frame o inv(T_ref_at_insertion)) o T_ref_now — frames recorded
+    before a loop closure / BA come out corrected (System.cc:424-453)."""
+    return jax.vmap(lambda p, ri, rn: se3.se3_compose(
+        se3.se3_compose(p, se3.se3_inverse(ri)), rn))(
+        poses, ref_pose_ins, ref_pose_now)
+
+
+@dataclasses.dataclass
+class _KfEvent:
+    """A chunk flagged a keyframe; its slot id becomes known when a later
+    chunk's stats row shows the insertion (the pending apply)."""
+
+    pose: np.ndarray          # tracked pose at the flagged frame
+    gray: object              # device array [H,W] (mapper input)
+    depth: object
+    dyn_boxes: object         # Boxes (device)
+    obj_boxes: object         # Boxes (device)
+
+
 class _ChunkRunnerBase:
-    """Shared host facade: bootstrap per-frame, then one dispatch per chunk
-    + deferred donated keyframe insertion (the LocalMapping decoupling)."""
+    """Host facade: bootstrap per-frame, then one dispatch per chunk with
+    results drained every `fetch_every` chunks in one packed transfer.
+    Loop closing / relocalization / semantic mapping fire at drain time."""
 
     semantic = False
 
     def __init__(self, cfg: SlamConfig, detector=None, chunk: int = 8,
-                 pipeline_depth: int = 0):
+                 pipeline_depth: int = 0, fetch_every: int | None = None,
+                 loop=None, mapper=None):
         self.cfg = cfg
         self.chunk = chunk
-        self.pipeline_depth = pipeline_depth
+        self.fetch_every = (fetch_every if fetch_every is not None
+                            else pipeline_depth + 1)
         self.detector = detector
+        self.loop = loop                  # LoopCloser | None
+        self.mapper = mapper              # SemanticMapper | None
         self.inner = tracking.Tracker(cfg)
+        if loop is not None:
+            self.inner.on_compaction = loop.remap_keyframes
         self._fn = make_track_chunk(cfg, detector, semantic=self.semantic)
         self._carry = None
-        self._pending: list = []       # keyframes queued for insertion
+        self._pending_dev = None          # device pending tuple
         self._pending_proto = None
-        self._inflight: list = []      # dispatched, not-yet-fetched chunks
+        self._inflight: list = []         # dispatched, not-yet-fetched
+        self._kf_events: list[_KfEvent] = []
+        self._next_kf_host = 0
+        self._ref_slot = -1               # current reference KF slot
+        self._ref_pose_ins = np.asarray(se3.se3_identity())
         self._want_compact = False
+        self._world_corrected = False
+        self.loops_closed = 0
+        self.relocs = 0
+        # raw per-frame poses + reference-KF anchors for retro-correction
         self.trajectory: list[np.ndarray] = []
+        self._traj_ref: list[int] = []
+        self._traj_refpose: list[np.ndarray] = []
         self.n_inliers_hist: list[int] = []
 
     # -- bootstrap: per-frame path until the map initializes --
@@ -276,6 +363,10 @@ class _ChunkRunnerBase:
         self._boot_prev_boxes = dyn_b
         self.inner.process(gray, depth, feats=feats)
         self.trajectory.append(np.asarray(self.inner.Tcw))
+        self._traj_ref.append(-1)
+        self._traj_refpose.append(np.asarray(se3.se3_identity()))
+        if self.inner.kf_inserted and self.loop is not None:
+            self.loop.on_keyframe(self.inner.map, self.inner.last_kf_id)
         if self.inner.state == "OK":
             # (re)sync the chunk state — bootstrap may be called repeatedly
             ref = (self.inner.n_inliers_hist[-1]
@@ -291,6 +382,11 @@ class _ChunkRunnerBase:
                 prev_feats=feats_raw, prev_boxes=dyn_b,
                 key=jax.random.PRNGKey(7))
             self._map = self.inner.map
+            self._pending_dev = self._empty_pending()
+            self._next_kf_host = int(np.asarray(self._map.next_kf))
+            self._ref_slot = self.inner.last_kf_id
+            self._ref_pose_ins = np.asarray(
+                self._map.kf_pose[self._ref_slot])
         return self.inner.state == "OK"
 
     def _empty_pending(self):
@@ -304,58 +400,134 @@ class _ChunkRunnerBase:
         return self._pending_proto
 
     def process_chunk(self, grays, depths):
-        """grays/depths [chunk, H, W] -> poses of the chunk whose results
-        were DRAINED this call (one chunk stays in flight: the host fetch
-        of chunk k overlaps the device execution of chunk k+1), or None on
-        the very first call. Call flush()/poses_cw() for the tail."""
+        """grays/depths [chunk, H, W]. Results are drained (trajectory,
+        keyframe events, loop closing, mapping, relocalization) every
+        `fetch_every` chunks; call flush() for the tail."""
         assert self._carry is not None, "bootstrap first"
         if self._want_compact:
             self._compact_now()
         params = self.detector.params if self.detector is not None else None
-        frame0 = int(self._carry.frame_id)
-        # at most one queued keyframe is applied inside the chunk program
-        pending = (self._pending.pop(0) if self._pending
-                   else self._empty_pending())
         out = self._fn(params, self._map, self._carry, grays, depths,
-                       pending)
-        self._map, self._carry = out[0], out[1]
-        self._inflight.append((frame0, out[2:]))
-        if len(self._inflight) > self.pipeline_depth:
-            return self._drain_one()
-        return None
+                       self._pending_dev)
+        (self._map, self._carry, packed, pending_out, feats_last,
+         kf_dyn, kf_obj) = out
+        self._pending_dev = pending_out
+        self._inflight.append((packed, feats_last, kf_dyn, kf_obj,
+                               grays, depths))
+        if len(self._inflight) >= self.fetch_every:
+            self._drain_all()
 
-    def _drain_one(self):
-        frame0, (poses, n_inl, matched, need_kf, feats,
-                 stats) = self._inflight.pop(0)
+    # ------------------------------------------------------------------
+    def _drain_all(self):
+        if not self._inflight:
+            return
+        recs = self._inflight
+        self._inflight = []
         # ONE packed transfer for everything the host must look at
-        poses_np, n_inl_np, flags, st = jax.device_get(
-            (poses, n_inl, need_kf, stats))
-        # queue keyframes this chunk flagged; later chunks apply them
-        # (the reference's Tracking->LocalMapping queue, System.cc:145-174)
-        for i in np.nonzero(flags)[0]:
-            f_i = jax.tree.map(lambda x: x[i], feats)
-            self._pending.append(
-                (jnp.asarray(True), f_i, poses[i],
-                 jnp.asarray(frame0 + int(i), jnp.int32), matched[i]))
-        self.trajectory.extend(list(poses_np))
-        self.n_inliers_hist.extend(n_inl_np.astype(int).tolist())
-        self._maybe_compact(int(st[0]), int(st[1]))
-        return poses_np
+        packed_np = jax.device_get([r[0] for r in recs])
+        last_n_inl = None
+        for (packed, feats_last, kf_dyn, kf_obj, grays, depths), pk in zip(
+                recs, packed_np):
+            c = pk.shape[0] - 1
+            poses = pk[:c, :7]
+            n_inl = pk[:c, 7].astype(int)
+            need = pk[:c, 8] > 0.5
+            next_kf = int(pk[c, 0])
+            # the pending of an EARLIER chunk was applied at this chunk's
+            # start: resolve its slot id and fire loop closing + mapping
+            if next_kf > self._next_kf_host and self._kf_events:
+                ev = self._kf_events.pop(0)
+                self._on_keyframe_inserted(next_kf - 1, ev)
+            self._next_kf_host = max(self._next_kf_host, next_kf)
+            # record frames against the current reference keyframe
+            self.trajectory.extend(list(poses))
+            self._traj_ref.extend([self._ref_slot] * c)
+            self._traj_refpose.extend([self._ref_pose_ins] * c)
+            self.n_inliers_hist.extend(n_inl.tolist())
+            # queue this chunk's flagged keyframe (applied next chunk)
+            flagged = np.nonzero(need)[0]
+            if flagged.size:
+                i = int(flagged[0])
+                self._kf_events.append(_KfEvent(
+                    pose=poses[i], gray=grays[i], depth=depths[i],
+                    dyn_boxes=kf_dyn, obj_boxes=kf_obj))
+            self._maybe_compact(next_kf, int(pk[c, 1]))
+            last_n_inl = n_inl
+        if self._world_corrected:
+            # a loop correction re-anchored the world mid-window: frames
+            # of FUTURE chunks are tracked in the corrected world, so the
+            # reference anchor must move to the ref KF's corrected pose
+            # (frames of this window, already recorded above, keep the
+            # old-world anchor their raw poses are consistent with)
+            self._world_corrected = False
+            if self._ref_slot >= 0:
+                self._ref_pose_ins = np.asarray(
+                    self._map.kf_pose[self._ref_slot])
+        # tracking loss at the tail of the drained window -> relocalize
+        # (host-side fallback; Tracking::Relocalization role)
+        if (self.loop is not None and last_n_inl is not None
+                and last_n_inl[-1] < self.cfg.tracker.min_inliers_local_map):
+            self._try_relocalize(recs[-1][1])
+
+    def _on_keyframe_inserted(self, kf_id: int, ev: _KfEvent):
+        self._ref_slot = kf_id
+        self._ref_pose_ins = ev.pose
+        if self.mapper is not None:
+            self.mapper.insert_keyframe(ev.gray, ev.depth,
+                                        jnp.asarray(ev.pose),
+                                        ev.dyn_boxes, ev.obj_boxes)
+        if self.loop is not None:
+            old_pose = np.asarray(self._map.kf_pose[kf_id])
+            corrected = self.loop.on_keyframe(self._map, kf_id)
+            if corrected is not None:
+                self.loops_closed += 1
+                self._world_corrected = True
+                new_pose = jnp.asarray(corrected.kf_pose[kf_id])
+                self._map = corrected
+                # re-anchor the live tracking state into the corrected
+                # world: T' = T o inv(T_kf_old) o T_kf_new (velocity is
+                # invariant under the world re-anchoring)
+                delta = se3.se3_compose(
+                    se3.se3_inverse(jnp.asarray(old_pose)), new_pose)
+                self._carry = dataclasses.replace(
+                    self._carry,
+                    Tcw=se3.se3_compose(self._carry.Tcw, delta))
+                p = self._pending_dev
+                if bool(np.asarray(p[0])):
+                    self._pending_dev = (
+                        p[0], p[1], se3.se3_compose(p[2], delta), p[3],
+                        p[4])
+
+    def _try_relocalize(self, feats_last):
+        T, n = self.loop.relocalize(self._map, feats_last)
+        if T is not None:
+            self.relocs += 1
+            self._carry = dataclasses.replace(
+                self._carry, Tcw=jnp.asarray(T),
+                velocity=se3.se3_identity())
 
     def flush(self):
-        """Drain in-flight chunks and apply queued keyframes."""
-        while self._inflight:
-            self._drain_one()
-        while self._pending:
-            flag, f, pose, fid, matched = self._pending.pop(0)
+        """Drain in-flight chunks and apply the queued keyframe."""
+        self._drain_all()
+        if self._pending_dev is None:
+            return
+        flag, f, pose, fid, matched = self._pending_dev
+        if bool(np.asarray(flag)):
             self._map = insert_and_maintain(self.cfg, self._map, f, pose,
                                             fid, matched)
+            self._pending_dev = self._empty_pending()
+            nk = int(np.asarray(self._map.next_kf))
+            if self._kf_events:
+                ev = self._kf_events.pop(0)
+                self._on_keyframe_inserted(nk - 1, ev)
+            self._next_kf_host = nk
 
     flush_keyframes = flush
 
     def _maybe_compact(self, next_kf: int, next_pt: int):
         m = self._map
-        if (next_kf >= m.max_kf - 2 * self.chunk - 4
+        margin_kf = 2 * self.fetch_every + 4
+        if (next_kf >= m.max_kf - margin_kf
                 or next_pt >= m.max_pt - 4096):
             # actual compaction runs at the next dispatch boundary, when
             # in-flight chunks (whose matched ids compaction would remap)
@@ -367,8 +539,33 @@ class _ChunkRunnerBase:
 
         self._want_compact = False
         self.flush()
-        m2, _, _ = mt.compact_map(self._map)
+        kf_valid = np.asarray(self._map.kf_valid)
+        kf_pose = np.asarray(self._map.kf_pose)
+        m2, kf_map, _ = mt.compact_map(self._map)
         self._map = m2
+        kf_map_np = np.asarray(kf_map)
+        # remap trajectory anchors; bake absolute poses for culled anchors
+        baked = {}
+        for i, ref in enumerate(self._traj_ref):
+            if ref < 0:
+                continue
+            if kf_valid[ref]:
+                self._traj_ref[i] = int(kf_map_np[ref])
+            else:
+                if ref not in baked:
+                    baked[ref] = kf_pose[ref]
+                T_abs = np.asarray(_export_traj(
+                    jnp.asarray(self.trajectory[i])[None],
+                    jnp.asarray(self._traj_refpose[i])[None],
+                    jnp.asarray(baked[ref])[None]))[0]
+                self._traj_ref[i] = -1
+                self.trajectory[i] = T_abs
+        if self._ref_slot >= 0 and kf_valid[self._ref_slot]:
+            self._ref_slot = int(kf_map_np[self._ref_slot])
+        else:
+            self._ref_slot = -1
+        if self.loop is not None:
+            self.loop.remap_keyframes(kf_map, kf_valid)
 
     @property
     def map(self):
@@ -383,7 +580,17 @@ class _ChunkRunnerBase:
 
     def poses_cw(self) -> np.ndarray:
         self.flush()
-        return np.stack(self.trajectory)
+        if not self.trajectory:
+            return np.zeros((0, 7), np.float32)
+        raw = np.stack(self.trajectory)
+        refs = np.asarray(self._traj_ref)
+        if not (refs >= 0).any():
+            return raw
+        refp = np.stack(self._traj_refpose)
+        kf_now = np.asarray(self.map.kf_pose)[np.maximum(refs, 0)]
+        out = np.asarray(_export_traj(jnp.asarray(raw), jnp.asarray(refp),
+                                      jnp.asarray(kf_now)))
+        return np.where((refs >= 0)[:, None], out, raw)
 
 
 class ChunkedTracker(_ChunkRunnerBase):
@@ -392,9 +599,11 @@ class ChunkedTracker(_ChunkRunnerBase):
     semantic = False
 
     def __init__(self, cfg: SlamConfig, chunk: int = 8,
-                 pipeline_depth: int = 0):
+                 pipeline_depth: int = 0, fetch_every: int | None = None,
+                 loop=None, mapper=None):
         super().__init__(cfg, detector=None, chunk=chunk,
-                         pipeline_depth=pipeline_depth)
+                         pipeline_depth=pipeline_depth,
+                         fetch_every=fetch_every, loop=loop, mapper=mapper)
 
 
 class ChunkedSemanticTracker(_ChunkRunnerBase):
@@ -403,6 +612,8 @@ class ChunkedSemanticTracker(_ChunkRunnerBase):
     semantic = True
 
     def __init__(self, cfg: SlamConfig, detector, chunk: int = 8,
-                 pipeline_depth: int = 0):
+                 pipeline_depth: int = 0, fetch_every: int | None = None,
+                 loop=None, mapper=None):
         super().__init__(cfg, detector=detector, chunk=chunk,
-                         pipeline_depth=pipeline_depth)
+                         pipeline_depth=pipeline_depth,
+                         fetch_every=fetch_every, loop=loop, mapper=mapper)
