@@ -80,6 +80,10 @@ class DynamicConfig:
     epi_dist_in_box: float = 0.2    # px threshold inside a person box (Frame.cc:563-597)
     epi_dist_outside: float = 1.0   # px threshold outside
     min_survivor_ratio: float = 0.1  # abort cull if <10% survive (Frame.cc:599-604)
+    # frame-to-frame correspondence source: windowed ORB matching (default,
+    # MXU-friendly) or pyramidal LK optical flow (the reference's exact
+    # mechanism, Frame.cc:445 — gather-heavy on TPU, kept as an option)
+    use_lk_flow: bool = False
     flow_levels: int = 3            # LK pyramid levels
     flow_window: int = 11           # LK window size
     flow_iters: int = 10

@@ -178,6 +178,86 @@ def _composite_people(o, d_w, people, best_t, best_col):
     return best_t, best_col
 
 
+# ---------------------------------------------------------------------------
+# Static semantic props (chair / tvmonitor / bottle stand-ins): textured
+# rectangles on fronto-parallel world planes — the non-person VOC objects
+# the reference routes into 3-D semantic mapping (Detector2D.cc:85-86 ->
+# Detector3D::Detect -> ObjectDatabase::addObject)
+# ---------------------------------------------------------------------------
+
+PROP_CHAIR = 9
+PROP_TV = 20
+PROP_BOTTLE = 5
+PROP_CLASSES = (PROP_BOTTLE, PROP_CHAIR, PROP_TV)
+
+
+def prop_texture(px, py, cls, seed):
+    """Per-class texture, visually distinct from walls and person stripes:
+    chair = coarse grid, tvmonitor = bright frame + dark screen,
+    bottle = fine vertical stripes."""
+    grid = jnp.clip(0.25 + 0.6 * ((jnp.sin(14.0 * px + seed) > 0.3)
+                                  ^ (jnp.sin(14.0 * py + seed) > 0.3)),
+                    0.0, 1.0)
+    screen = jnp.where((jnp.abs(px) > 0.8) | (jnp.abs(py) > 0.8), 0.9,
+                       0.12 + 0.1 * jnp.sin(30.0 * px * py + seed))
+    stripes = 0.2 + 0.65 * (jnp.sin(60.0 * px + 3.0 * seed) > 0.0)
+    t = jnp.where(cls == PROP_CHAIR, grid,
+                  jnp.where(cls == PROP_TV, screen, stripes))
+    return jnp.clip(t, 0.0, 1.0)
+
+
+def _composite_props(o, d_w, props, best_t, best_col):
+    """Ray-cast `props` [Q,7] = (cx, cy, cz, half_w, half_h, cls, seed)
+    rectangles on world planes z = cz. half_h <= 0 disables a row."""
+    n = jnp.array([0.0, 0.0, -1.0])
+    denom = jnp.einsum("hwc,c->hw", d_w, n)
+    for i in range(props.shape[0]):
+        cx, cy, cz, half_w, half_h, cls, seed = (props[i, j]
+                                                 for j in range(7))
+        t = (-cz - jnp.dot(n, o)) / jnp.where(jnp.abs(denom) < 1e-6,
+                                              jnp.inf, denom)
+        p = o[None, None, :] + t[..., None] * d_w
+        px = (p[..., 0] - cx) / jnp.maximum(half_w, 1e-6)
+        py = (p[..., 1] - cy) / jnp.maximum(half_h, 1e-6)
+        inside = ((jnp.abs(px) < 1.0) & (jnp.abs(py) < 1.0)
+                  & (t > 0.05) & (half_h > 0))
+        col = prop_texture(px, py, cls.astype(jnp.int32), seed)
+        closer = inside & (t < best_t)
+        best_t = jnp.where(closer, t, best_t)
+        best_col = jnp.where(closer, col, best_col)
+    return best_t, best_col
+
+
+def prop_gt_box(cam: Camera, T_cw, prop):
+    """Ground-truth pixel box (x1, y1, x2, y2) of a prop rectangle + a
+    visibility flag. prop: [7] = (cx, cy, cz, half_w, half_h, cls, seed)."""
+    cx, cy, cz, hw, hh = (prop[j] for j in range(5))
+    corners = jnp.stack([
+        jnp.stack([cx - hw, cy - hh, cz]),
+        jnp.stack([cx + hw, cy - hh, cz]),
+        jnp.stack([cx - hw, cy + hh, cz]),
+        jnp.stack([cx + hw, cy + hh, cz])])
+    pc = se3.se3_apply(T_cw[None], corners)
+    z_ok = jnp.all(pc[:, 2] > 0.05) & (prop[4] > 0)
+    uv = jnp.stack([cam.fx * pc[:, 0] / pc[:, 2] + cam.cx,
+                    cam.fy * pc[:, 1] / pc[:, 2] + cam.cy], -1)
+    x1 = jnp.clip(jnp.min(uv[:, 0]), 0, cam.width - 1)
+    y1 = jnp.clip(jnp.min(uv[:, 1]), 0, cam.height - 1)
+    x2 = jnp.clip(jnp.max(uv[:, 0]), 0, cam.width - 1)
+    y2 = jnp.clip(jnp.max(uv[:, 1]), 0, cam.height - 1)
+    visible = z_ok & (x2 - x1 > 2) & (y2 - y1 > 2)
+    return jnp.stack([x1, y1, x2, y2]), visible
+
+
+# three default props along the back wall (world coords; y points down,
+# floor at y=+1)
+DEFAULT_PROPS = np.array([
+    [-0.85, 0.55, 3.30, 0.35, 0.42, PROP_CHAIR, 11.0],
+    [0.95, -0.25, 3.35, 0.45, 0.30, PROP_TV, 23.0],
+    [0.10, 0.70, 2.90, 0.08, 0.24, PROP_BOTTLE, 37.0],
+], np.float32)
+
+
 @partial(jax.jit, static_argnums=(0, 3))
 def render_frame_people(cam: Camera, T_wc, people, planes=ROOM):
     """Render with multiple person capsules ([P,5] rows of
@@ -195,6 +275,31 @@ def render_frame_people(cam: Camera, T_wc, people, planes=ROOM):
     d_w = se3.quat_rotate(q_wc[None, None, :], d_cam)
     best_t = jnp.where(depth > 0, depth, jnp.inf)
     best_t, best_col = _composite_people(o, d_w, people, best_t, gray)
+    depth = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
+    return best_col.astype(jnp.float32), depth.astype(jnp.float32)
+
+
+@partial(jax.jit, static_argnums=(0, 4))
+def render_frame_scene(cam: Camera, T_wc, people, props, planes=ROOM):
+    """Full scene renderer: room planes + person capsules [P,5] + prop
+    rectangles [Q,7]. Either may be a zero-row array."""
+    gray, depth = render_frame(cam, T_wc, None, planes=planes)
+    H, W = cam.height, cam.width
+    uu = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)
+    vv = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, axis=1)
+    dx = (uu - cam.cx) / cam.fx
+    dy = (vv - cam.cy) / cam.fy
+    d_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)
+    q_wc = T_wc[:4]
+    o = T_wc[4:7]
+    d_w = se3.quat_rotate(q_wc[None, None, :], d_cam)
+    best_t = jnp.where(depth > 0, depth, jnp.inf)
+    best_col = gray
+    if props.shape[0]:
+        best_t, best_col = _composite_props(o, d_w, props, best_t, best_col)
+    if people.shape[0]:
+        best_t, best_col = _composite_people(o, d_w, people, best_t,
+                                             best_col)
     depth = jnp.where(jnp.isfinite(best_t), best_t, 0.0)
     return best_col.astype(jnp.float32), depth.astype(jnp.float32)
 
@@ -271,7 +376,7 @@ class SyntheticSequence:
     """Host-side iterator mimicking a dataset: (gray, depth, gt_T_wc)."""
 
     def __init__(self, cam: Camera, n_frames: int = 60, dynamic: bool = False,
-                 planes=ROOM, poses=None):
+                 planes=ROOM, poses=None, props=None):
         self.cam = cam
         self.n_frames = n_frames
         self.dynamic = dynamic
@@ -279,16 +384,35 @@ class SyntheticSequence:
         # T_wc (camera-to-world) per frame
         self.poses = poses if poses is not None else make_trajectory(n_frames)
         self.obj = object_track(n_frames) if dynamic else None
+        # static semantic props: True -> DEFAULT_PROPS, or an explicit
+        # [Q,7] array of (cx, cy, cz, half_w, half_h, cls, seed) rows
+        self.props = (jnp.asarray(DEFAULT_PROPS) if props is True
+                      else (jnp.asarray(props) if props is not None
+                            else None))
         self.timestamps = np.arange(n_frames, dtype=np.float64) / 30.0
 
     def __len__(self):
         return self.n_frames
 
     def frame(self, i: int):
+        if self.props is not None:
+            if self.dynamic:
+                c = self.obj[i]
+                people = jnp.concatenate(
+                    [c, jnp.array([0.55 * 1.3, 9.0])])[None, :]
+            else:
+                people = jnp.zeros((0, 5), jnp.float32)
+            return render_frame_scene(self.cam, self.poses[i], people,
+                                      self.props, planes=self.planes)
         obj_c = self.obj[i] if self.dynamic else None
         gray, depth = render_frame(self.cam, self.poses[i], obj_c,
                                    obj_half=0.55, planes=self.planes)
         return gray, depth
+
+    def gt_prop_box(self, i: int, q: int):
+        """GT pixel box + visibility of prop q at frame i."""
+        return prop_gt_box(self.cam, se3.se3_inverse(self.poses[i]),
+                           self.props[q])
 
     def gt_pose_wc(self, i: int):
         return self.poses[i]

@@ -38,14 +38,71 @@ PERSON_CLASS = 15
 # Scene sampling (pure function of a PRNG key -> image + GT boxes)
 # ---------------------------------------------------------------------------
 
-def _sample_scene(key, planes, cam):
-    """One random scene: camera jitter + up to MAX_PEOPLE person capsules.
+MAX_PROPS = 3
+# size priors (half_w range, half_h range) per prop class
+_PROP_PRIORS = {
+    synthetic.PROP_BOTTLE: ((0.05, 0.10), (0.14, 0.30)),
+    synthetic.PROP_CHAIR: ((0.22, 0.45), (0.28, 0.50)),
+    synthetic.PROP_TV: ((0.28, 0.50), (0.18, 0.35)),
+}
 
-    Returns (gray [300,300], boxes01 [G,4] xyxy normalized, box_valid [G]).
-    Normalized boxes are invariant to the horizontal resize, so the 4:3
-    camera needs no coordinate fixup.
+
+def _sample_props(key):
+    """Up to MAX_PROPS prop rows [Q,7] with per-class size priors."""
+    ks = jax.random.split(key, 5)
+    cls = jnp.asarray(synthetic.PROP_CLASSES, jnp.float32)[
+        jax.random.randint(ks[0], (MAX_PROPS,), 0,
+                           len(synthetic.PROP_CLASSES))]
+    z = jax.random.uniform(ks[1], (MAX_PROPS,), minval=1.2, maxval=3.4)
+    cx = jax.random.uniform(ks[2], (MAX_PROPS,), minval=-0.42,
+                            maxval=0.42) * z
+    cy = jax.random.uniform(ks[3], (MAX_PROPS,), minval=-0.30, maxval=0.65)
+    r = jax.random.uniform(ks[4], (MAX_PROPS, 4))
+    lo_w = jnp.zeros(MAX_PROPS)
+    hi_w = jnp.zeros(MAX_PROPS)
+    lo_h = jnp.zeros(MAX_PROPS)
+    hi_h = jnp.zeros(MAX_PROPS)
+    for c, ((lw, hw_), (lh, hh_)) in _PROP_PRIORS.items():
+        sel = cls == c
+        lo_w = jnp.where(sel, lw, lo_w)
+        hi_w = jnp.where(sel, hw_, hi_w)
+        lo_h = jnp.where(sel, lh, lo_h)
+        hi_h = jnp.where(sel, hh_, hi_h)
+    hw = lo_w + (hi_w - lo_w) * r[:, 0]
+    hh = lo_h + (hi_h - lo_h) * r[:, 1]
+    active = r[:, 2] < jnp.array([0.75, 0.5, 0.3])
+    hh = jnp.where(active, hh, -1.0)
+    seed = 60.0 * r[:, 3]
+    return jnp.stack([cx, cy, z, hw, hh, cls, seed], axis=-1)
+
+
+def _augment(key, gray):
+    """Photometric robustness augmentation: brightness/contrast jitter,
+    additive Gaussian noise, and probabilistic 3x3 blur — the stand-in for
+    the real-imagery domain gap (sensor gain, motion blur, shot noise)."""
+    ks = jax.random.split(key, 5)
+    contrast = jax.random.uniform(ks[0], (), minval=0.6, maxval=1.3)
+    bright = jax.random.uniform(ks[1], (), minval=-0.15, maxval=0.15)
+    g = jnp.clip((gray - 0.5) * contrast + 0.5 + bright, 0.0, 1.0)
+    sigma = jax.random.uniform(ks[2], (), minval=0.0, maxval=0.04)
+    g = g + sigma * jax.random.normal(ks[4], g.shape)
+    # blended 3x3 box blur with random strength (0 = sharp)
+    blur = jnp.pad(g, 1, mode="edge")
+    blur = sum(blur[i:i + g.shape[0], j:j + g.shape[1]]
+               for i in range(3) for j in range(3)) / 9.0
+    w = jax.random.uniform(ks[3], ()) * 0.8
+    return jnp.clip((1 - w) * g + w * blur, 0.0, 1.0)
+
+
+def _sample_scene(key, planes, cam):
+    """One random scene: camera jitter + up to MAX_PEOPLE person capsules
+    + up to MAX_PROPS semantic props, with photometric augmentation.
+
+    Returns (gray [300,300], boxes01 [G,4] xyxy normalized,
+    labels [G] i32, box_valid [G]). Normalized boxes are invariant to the
+    horizontal resize, so the 4:3 camera needs no coordinate fixup.
     """
-    ks = jax.random.split(key, 6)
+    ks = jax.random.split(key, 8)
     lo = jnp.array([-0.65, -0.20, -0.40, -0.10, -0.15, -0.06])
     hi = jnp.array([0.65, 0.20, 0.40, 0.10, 0.15, 0.06])
     xi = jax.random.uniform(ks[0], (6,)) * (hi - lo) + lo
@@ -61,25 +118,33 @@ def _sample_scene(key, planes, cam):
     half_h = jnp.where(active, half_h, -1.0)
     seed = 60.0 * r[:, 2]
     people = jnp.stack([cx, cy, z, half_h, seed], axis=-1)
+    props = _sample_props(ks[6])
 
-    gray, _ = synthetic.render_frame_people(cam, T_wc, people,
-                                            planes=planes)
+    gray, _ = synthetic.render_frame_scene(cam, T_wc, people, props,
+                                           planes=planes)
+    gray = _augment(ks[7], gray)
     if cam.width != 300:
         gray = jax.image.resize(gray, (300, 300), "linear")
     T_cw = se3.se3_inverse(T_wc)
-    boxes, vis = jax.vmap(lambda p: synthetic.person_gt_box(
+    p_boxes, p_vis = jax.vmap(lambda p: synthetic.person_gt_box(
         cam, T_cw, p))(people)
+    q_boxes, q_vis = jax.vmap(lambda q: synthetic.prop_gt_box(
+        cam, T_cw, q))(props)
+    boxes = jnp.concatenate([p_boxes, q_boxes])
+    vis = jnp.concatenate([p_vis, q_vis])
+    labels = jnp.concatenate([
+        jnp.full((MAX_PEOPLE,), PERSON_CLASS, jnp.int32),
+        props[:, 5].astype(jnp.int32)])
     boxes01 = boxes / jnp.array([cam.width - 1.0, cam.height - 1.0,
                                  cam.width - 1.0, cam.height - 1.0])
-    return gray, boxes01, vis
+    return gray, boxes01, labels, vis
 
 
 def sample_batch(key, batch: int, planes, cam=TRAIN_CAM):
     keys = jax.random.split(key, batch)
-    gray, boxes, vis = jax.vmap(
+    gray, boxes, labels, vis = jax.vmap(
         lambda k: _sample_scene(k, planes, cam))(keys)
     rgb = jnp.repeat(gray[..., None], 3, axis=-1)
-    labels = jnp.full(boxes.shape[:2], PERSON_CLASS, jnp.int32)
     return rgb, boxes, labels, vis
 
 

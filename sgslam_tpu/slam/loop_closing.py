@@ -192,9 +192,13 @@ class LoopCloser:
         self._consistency: dict[int, int] = {}  # candidate -> streak
         self.loops_closed: list[tuple[int, int]] = []
         # cooperative-cancel hook for the post-loop global BA (mbStopGBA
-        # role, LoopClosing.cc:410-423): return True to preempt
+        # role, LoopClosing.cc:410-423): return True to preempt. The
+        # runner installs a producer (e.g. "a keyframe is waiting"); an
+        # aborted GBA leaves `gba_remaining` > 0 and resumes later via
+        # `continue_gba` (BA is anytime: every completed slice is kept).
         self.should_abort_gba = None
         self.last_gba_iters = 0
+        self.gba_remaining = 0
 
     def remap_keyframes(self, kf_old_to_new, old_valid):
         """Follow a map compaction: permute the BoW database rows and the
@@ -274,6 +278,13 @@ class LoopCloser:
             S_ab, inl, n = sim3.ransac_sim3(
                 cfg.camera, pa, pb, uva, uvb, ok,
                 jax.random.PRNGKey(kf_id), iters=128, fix_scale=True)
+            if int(n) < cfg.loop.min_sim3_inliers:
+                continue
+            # GN refinement with two-way reprojection edges + chi2 gating
+            # (Optimizer::OptimizeSim3 between RANSAC and the widening,
+            # LoopClosing.cc:326)
+            S_ab, inl, n = sim3.optimize_sim3(
+                cfg.camera, S_ab, pa, pb, uva, uvb, ok, fix_scale=True)
             if int(n) < cfg.loop.min_sim3_inliers:
                 continue
             # SearchBySim3 widening + refine (LoopClosing.cc:323-391):
@@ -406,4 +417,20 @@ class LoopCloser:
             m, self.last_gba_iters = global_ba_interruptible(
                 self.cfg, m, iters=self.cfg.loop.global_ba_iters,
                 should_abort=self.should_abort_gba)
+            self.gba_remaining = (self.cfg.loop.global_ba_iters
+                                  - self.last_gba_iters)
+        return m
+
+    def continue_gba(self, m: ms.MapState):
+        """Resume an aborted global BA (the reference re-spawns GBA after
+        the preempting work drains, LoopClosing.cc:645-749 under the map
+        mutex). Returns the updated map, or None if nothing was pending."""
+        if self.gba_remaining <= 0:
+            return None
+        from ..optim.global_ba import global_ba_interruptible
+
+        m, done = global_ba_interruptible(
+            self.cfg, m, iters=self.gba_remaining,
+            should_abort=self.should_abort_gba)
+        self.gba_remaining -= done
         return m

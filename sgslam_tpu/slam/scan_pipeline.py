@@ -308,6 +308,11 @@ class _ChunkRunnerBase:
         self.detector = detector
         self.loop = loop                  # LoopCloser | None
         self.mapper = mapper              # SemanticMapper | None
+        if loop is not None:
+            # GBA-abort producer (the mbStopGBA role): a queued keyframe
+            # event preempts a running post-loop global BA; the remainder
+            # resumes at an idle drain via continue_gba below
+            loop.should_abort_gba = lambda: bool(self._kf_events)
         self.inner = tracking.Tracker(cfg)
         if loop is not None:
             self.inner.on_compaction = loop.remap_keyframes
@@ -463,6 +468,13 @@ class _ChunkRunnerBase:
             if self._ref_slot >= 0:
                 self._ref_pose_ins = np.asarray(
                     self._map.kf_pose[self._ref_slot])
+        # idle drain: resume an aborted post-loop global BA (the reference
+        # re-runs GBA once the preempting keyframe work drains)
+        if (self.loop is not None and not self._kf_events
+                and self.loop.gba_remaining > 0):
+            m2 = self.loop.continue_gba(self._map)
+            if m2 is not None:
+                self._map = m2
         # tracking loss at the tail of the drained window -> relocalize
         # (host-side fallback; Tracking::Relocalization role)
         if (self.loop is not None and last_n_inl is not None

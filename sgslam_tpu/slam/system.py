@@ -103,15 +103,23 @@ class System:
         if self.enable_semantic and self.prev_feats is not None:
             with self.metrics.timer("dynamic_cull"):
                 self._key, sub = jax.random.split(self._key)
-                p = self.prev_feats
-                prev_xy, status = dyn_mod.match_prev_frame(
-                    cfg.matcher, cfg.orb.scale_factor, feats,
-                    p.xy_raw, p.level, p.angle, p.desc, p.valid,
-                    radius=cfg.dynamic.match_radius)
-                keep, _, _ = dyn_mod.reject_dynamic_matched(
-                    cfg.dynamic, feats.xy_raw, feats.valid, prev_xy,
-                    status, self.person_cull_boxes,
-                    self.prev_dynamic_boxes, sub)
+                if cfg.dynamic.use_lk_flow:
+                    # the reference's exact correspondence mechanism:
+                    # pyramidal LK flow current -> previous (Frame.cc:445)
+                    keep, _, _ = dyn_mod.reject_dynamic(
+                        cfg.dynamic, gray, self.prev_gray, feats.xy_raw,
+                        feats.valid, self.person_cull_boxes,
+                        self.prev_dynamic_boxes, sub)
+                else:
+                    p = self.prev_feats
+                    prev_xy, status = dyn_mod.match_prev_frame(
+                        cfg.matcher, cfg.orb.scale_factor, feats,
+                        p.xy_raw, p.level, p.angle, p.desc, p.valid,
+                        radius=cfg.dynamic.match_radius)
+                    keep, _, _ = dyn_mod.reject_dynamic_matched(
+                        cfg.dynamic, feats.xy_raw, feats.valid, prev_xy,
+                        status, self.person_cull_boxes,
+                        self.prev_dynamic_boxes, sub)
                 feats = dyn_mod.apply_keep_mask(feats, keep)
 
         with self.metrics.timer("track"):

@@ -157,3 +157,40 @@ def test_global_ba_interruptible(tracked):
     # without an abort hook the full budget runs
     out2, done2 = global_ba_interruptible(CFG, m, iters=4, slice_iters=2)
     assert done2 == 4
+
+
+def test_gba_abort_producer_and_resume():
+    """A keyframe arriving during GBA preempts it (the mbStopGBA producer,
+    LoopClosing.cc:410-423); the aborted map stays consistent and the
+    remainder resumes via continue_gba once the preempting work drains."""
+    from sgslam_tpu.slam.loop_closing import LoopCloser
+
+    m0, _, _ = _consistent_map()
+    key = jax.random.PRNGKey(5)
+    m_noisy = dataclasses.replace(
+        m0, pt_pos=m0.pt_pos + 0.01 * jax.random.normal(key,
+                                                        m0.pt_pos.shape))
+    lc = LoopCloser(CFG)
+    lc.should_abort_gba = lambda: True       # a keyframe is always waiting
+    from sgslam_tpu.optim.global_ba import global_ba_interruptible
+
+    m1, done = global_ba_interruptible(CFG, m_noisy, iters=10,
+                                       should_abort=lc.should_abort_gba)
+    lc.gba_remaining = 10 - done
+    assert 0 < done < 10, done               # preempted mid-run
+    # every completed slice is kept: the aborted map is finite and already
+    # closer to the unperturbed points than the noisy start
+    assert bool(jnp.all(jnp.isfinite(m1.kf_pose)))
+    assert bool(jnp.all(jnp.isfinite(m1.pt_pos)))
+    err0 = float(jnp.abs(jnp.where(m0.pt_valid[:, None],
+                                   m_noisy.pt_pos - m0.pt_pos, 0)).max())
+    err1 = float(jnp.abs(jnp.where(m0.pt_valid[:, None],
+                                   m1.pt_pos - m0.pt_pos, 0)).max())
+    assert err1 < err0
+
+    # the preempting work drains -> resume completes the remaining slices
+    lc.should_abort_gba = lambda: False
+    m2 = lc.continue_gba(m1)
+    assert m2 is not None and lc.gba_remaining == 0
+    assert lc.continue_gba(m2) is None       # nothing left
+    assert bool(jnp.all(jnp.isfinite(m2.pt_pos)))

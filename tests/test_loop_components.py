@@ -141,3 +141,59 @@ def test_pose_graph_closes_loop(rng):
     r_loop = np.asarray(edge_residual(opt[K - 1], opt[0],
                                       jnp.asarray(meas[-1])))
     assert np.linalg.norm(r_loop) < 0.02, r_loop
+
+
+def test_optimize_sim3_gn_beats_horn(rng):
+    """The OptimizeSim3 contract (Optimizer.cc:1046-1243): inlier-gated GN
+    with two-way reprojection edges refines a noisy Sim3 beyond what a
+    Horn re-fit on the same data achieves, and gates outliers."""
+    cam = config.tum3_config().camera
+    T12 = se3.se3_exp(jnp.asarray([0.2, -0.1, 0.1, 0.05, 0.1, 0.02]))
+    S12_gt = se3.sim3_from_se3(T12)
+    pts2 = jnp.asarray(rng.uniform([-1, -1, 1.5], [1, 1, 4],
+                                   size=(160, 3)).astype(np.float32))
+    pts1_exact = se3.sim3_apply(S12_gt[None], pts2)
+    uv1 = cam_mod.project(cam, pts1_exact)
+    uv2 = cam_mod.project(cam, pts2)
+    # noise on the 3-D points (depth noise), outliers on a fifth of them
+    p1n = np.array(pts1_exact) + rng.normal(0, 0.004, (160, 3))
+    p1n[:32] += rng.uniform(0.4, 1.0, size=(32, 3))
+    p1n = jnp.asarray(p1n.astype(np.float32))
+    valid = jnp.ones(160, bool)
+
+    # start from a perturbed initial guess
+    S0 = se3.sim3_compose(
+        se3.sim3_exp(jnp.asarray([0.05, -0.03, 0.04, 0.02, -0.02, 0.01,
+                                  0.0])), S12_gt)
+    S_horn = sim3.horn_alignment(pts2, p1n, valid.astype(jnp.float32),
+                                 fix_scale=True)
+    S_gn, inl, n = sim3.optimize_sim3(cam, S0, p1n, pts2, uv1, uv2, valid,
+                                      rounds=3, iters=6, fix_scale=True)
+    assert int(n) > 100
+    assert not bool(inl[:32].any()), "outliers survived the chi2 gate"
+    e_horn = np.linalg.norm(np.asarray(se3.sim3_log(
+        se3.sim3_compose(S_horn, se3.sim3_inverse(S12_gt)))))
+    e_gn = np.linalg.norm(np.asarray(se3.sim3_log(
+        se3.sim3_compose(S_gn, se3.sim3_inverse(S12_gt)))))
+    assert e_gn < 0.02, e_gn
+    assert e_gn < 0.5 * e_horn, (e_gn, e_horn)
+
+
+def test_optimize_sim3_recovers_scale(rng):
+    """With fix_scale=False the 7th dof converges to the true scale — the
+    capability the mono loop-closure path requires (g2o VertexSim3Expmap
+    with _fix_scale=false)."""
+    cam = config.tum3_config().camera
+    S12_gt = se3.sim3_exp(jnp.asarray([0.15, -0.05, 0.1, 0.04, 0.08, 0.02,
+                                       0.22]))          # scale e^0.22
+    pts2 = jnp.asarray(rng.uniform([-1, -1, 1.5], [1, 1, 4],
+                                   size=(120, 3)).astype(np.float32))
+    pts1 = se3.sim3_apply(S12_gt[None], pts2)
+    uv1 = cam_mod.project(cam, pts1)
+    uv2 = cam_mod.project(cam, pts2)
+    S0 = se3.sim3_from_se3(se3.sim3_to_se3(S12_gt))     # scale reset to 1
+    S, inl, n = sim3.optimize_sim3(cam, S0, pts1, pts2, uv1, uv2,
+                                   jnp.ones(120, bool), rounds=2, iters=8,
+                                   fix_scale=False)
+    assert int(n) > 110
+    assert abs(float(S[7]) - float(S12_gt[7])) < 0.01, float(S[7])

@@ -97,45 +97,75 @@ def main():
     dt.save_params(out, jax.device_get(params))
     print(f"saved {out} ({os.path.getsize(out)/1e6:.2f} MB)")
 
-    # ---- held-out eval: person recall/precision at IoU 0.5 ----
+    # ---- held-out eval: per-class recall/precision at IoU 0.5, persisted
+    # as DETECTOR.json so the domain gap is visible and tracked ----
+    import json
+
     from sgslam_tpu.config import DetectorConfig
 
     cfg = DetectorConfig()
     det = det_mod.Detector2D(cfg, params=params)
     eval_planes = vary(synthetic.ROOM, 71.0)   # unseen textures
     k = jax.random.PRNGKey(123)
-    tp = fp = fn = 0
-    for j in range(40):
+    classes = {15: "person", 5: "bottle", 9: "chair", 20: "tvmonitor"}
+    stats = {c: [0, 0, 0] for c in classes}    # tp, fp, fn
+
+    def iou(g, p):
+        x1 = max(g[0], p[0]); y1 = max(g[1], p[1])
+        x2 = min(g[2], p[2]); y2 = min(g[3], p[3])
+        inter = max(x2 - x1, 0) * max(y2 - y1, 0)
+        u = ((g[2]-g[0])*(g[3]-g[1]) + (p[2]-p[0])*(p[3]-p[1]) - inter)
+        return inter / max(u, 1e-9)
+
+    for j in range(60):
         k, sub = jax.random.split(k)
         cam = dt.TRAIN_CAM if j % 2 == 0 else dt.TRAIN_CAM_43
         rgb, boxes, labels, vis = dt.sample_batch(sub, 1, eval_planes, cam)
-        _, cull, pmap, _ = det.detect(rgb[0], 300, 300)
-        pred = np.asarray(pmap.xyxy)[np.asarray(pmap.valid)]
-        gt = np.asarray(boxes[0])[np.asarray(vis[0])] * 300.0
-        matched = set()
-        for g in gt:
-            best, bi = 0.0, -1
-            for pi, p in enumerate(pred):
-                if pi in matched:
-                    continue
-                x1 = max(g[0], p[0]); y1 = max(g[1], p[1])
-                x2 = min(g[2], p[2]); y2 = min(g[3], p[3])
-                inter = max(x2 - x1, 0) * max(y2 - y1, 0)
-                u = ((g[2]-g[0])*(g[3]-g[1]) + (p[2]-p[0])*(p[3]-p[1])
-                     - inter)
-                iou = inter / max(u, 1e-9)
-                if iou > best:
-                    best, bi = iou, pi
-            if best >= 0.5:
-                tp += 1
-                matched.add(bi)
-            else:
-                fn += 1
-        fp += len(pred) - len(matched)
-    rec = tp / max(tp + fn, 1)
-    prec = tp / max(tp + fp, 1)
-    print(f"held-out person detection: recall {rec:.3f} "
-          f"precision {prec:.3f} (tp={tp} fp={fp} fn={fn})")
+        allb, _, pmap, obj2d = det.detect(rgb[0], 300, 300)
+        pb = np.asarray(allb.xyxy)
+        pc = np.asarray(allb.cls)
+        pv = np.asarray(allb.valid)
+        gt_b = np.asarray(boxes[0]) * 300.0
+        gt_l = np.asarray(labels[0])
+        gt_v = np.asarray(vis[0])
+        for c in classes:
+            pred = pb[pv & (pc == c)]
+            gts = gt_b[gt_v & (gt_l == c)]
+            matched = set()
+            for g in gts:
+                best, bi = 0.0, -1
+                for pi, p in enumerate(pred):
+                    if pi in matched:
+                        continue
+                    v = iou(g, p)
+                    if v > best:
+                        best, bi = v, pi
+                if best >= 0.5:
+                    stats[c][0] += 1
+                    matched.add(bi)
+                else:
+                    stats[c][2] += 1
+            stats[c][1] += len(pred) - len(matched)
+
+    report = {"steps": args.steps,
+              "platform": jax.devices()[0].platform,
+              "eval": "held-out synthetic (unseen textures + photometric "
+                      "augmentation), IoU 0.5", "classes": {}}
+    for c, name in classes.items():
+        tp, fp, fn = stats[c]
+        rec = tp / max(tp + fn, 1)
+        prec = tp / max(tp + fp, 1)
+        report["classes"][name] = {"recall": round(rec, 3),
+                                   "precision": round(prec, 3),
+                                   "tp": tp, "fp": fp, "fn": fn}
+        print(f"held-out {name}: recall {rec:.3f} precision {prec:.3f} "
+              f"(tp={tp} fp={fp} fn={fn})")
+    rep_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        "DETECTOR.json")
+    with open(rep_path, "w") as f:
+        json.dump(report, f, indent=1)
+    print(f"wrote {rep_path}")
 
 
 if __name__ == "__main__":
