@@ -414,6 +414,22 @@ class SyntheticSequence:
         return prop_gt_box(self.cam, se3.se3_inverse(self.poses[i]),
                            self.props[q])
 
+    def frame_stereo(self, i: int):
+        """Rectified stereo pair (gray_left, gray_right, depth_left): the
+        right camera sits baseline = bf/fx to the left camera's +x
+        (the rectified-pair geometry of Frame.cc:87-127)."""
+        b = self.cam.bf / self.cam.fx
+        T_wc_l = self.poses[i]
+        T_wc_r = se3.se3_compose(
+            T_wc_l, se3.se3_make(jnp.array([1.0, 0, 0, 0]),
+                                 jnp.array([b, 0.0, 0.0])))
+        obj_c = self.obj[i] if self.dynamic else None
+        gl, dl = render_frame(self.cam, T_wc_l, obj_c, obj_half=0.55,
+                              planes=self.planes)
+        gr, _ = render_frame(self.cam, T_wc_r, obj_c, obj_half=0.55,
+                             planes=self.planes)
+        return gl, gr, dl
+
     def gt_pose_wc(self, i: int):
         return self.poses[i]
 

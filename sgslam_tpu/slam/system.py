@@ -167,6 +167,52 @@ class System:
         return Tcw
 
     # ------------------------------------------------------------------
+    def track_stereo(self, gray_l, gray_r) -> np.ndarray:
+        """Rectified stereo per-frame API (System::TrackStereo contract,
+        System.cc:190-239): extraction on the left image + epipolar SAD
+        depth from the right, then the identical tracking state machine.
+        Semantic stages and the loop closer apply unchanged."""
+        feats = tracking.extract_frame_stereo(
+            self.cfg, jnp.asarray(gray_l), jnp.asarray(gray_r))
+        self.timestamps.append(len(self.timestamps) / self.cfg.fps)
+        Tcw = self.tracker.process(jnp.asarray(gray_l), None, feats=feats)
+        self.last_feats = feats
+        self._post_track()
+        return Tcw
+
+    def track_monocular(self, gray) -> np.ndarray:
+        """Monocular per-frame API (System::TrackMonocular contract): the
+        tracker must be a slam.mono.MonoTracker (see System.monocular)."""
+        self.timestamps.append(len(self.timestamps) / self.cfg.fps)
+        Tcw = self.tracker.process_mono(gray)
+        if self.tracker.state == "OK":
+            self._post_track()
+        return Tcw
+
+    @classmethod
+    def monocular(cls, cfg: SlamConfig, **kw):
+        """Construct a System whose tracker runs the monocular pipeline."""
+        from .mono import MonoTracker
+
+        s = cls(cfg, **kw)
+        s.tracker = MonoTracker(cfg)
+        if s.loop is not None:
+            s.tracker.on_compaction = s.loop.remap_keyframes
+        return s
+
+    def _post_track(self):
+        """Shared keyframe side effects (loop closing; mapping needs a
+        depth image, so RGB-D only)."""
+        if self.tracker.kf_inserted and self.loop is not None:
+            kf_id = self.tracker.last_kf_id
+            with self.metrics.timer("loop_closing"):
+                corrected = self.loop.on_keyframe(self.tracker.map, kf_id)
+            if corrected is not None:
+                self.metrics.count("loops_closed")
+                self.tracker.map = corrected
+                self.tracker.Tcw = corrected.kf_pose[kf_id]
+                self.tracker.last_Tcw = self.tracker.Tcw
+
     @property
     def state(self):
         return self.tracker.state

@@ -42,6 +42,25 @@ def extract_frame(cfg: SlamConfig, gray, depth) -> orb.Features:
 
 
 @partial(jax.jit, static_argnums=(0,))
+def extract_frame_stereo(cfg: SlamConfig, gray_l, gray_r) -> orb.Features:
+    """Stereo frame construction: extract on the left image, fill
+    u_right/depth by rectified epipolar SAD search in the right image
+    (the stereo Frame constructor, Frame.cc:87-127 + ComputeStereoMatches
+    Frame.cc:716-890)."""
+    from ..ops import stereo as stereo_ops
+
+    feats = orb.extract(gray_l, cfg.orb, cfg.camera)
+    return stereo_ops.attach_stereo(cfg.camera, feats, gray_l, gray_r)
+
+
+@partial(jax.jit, static_argnums=(0,))
+def extract_frame_mono(cfg: SlamConfig, gray) -> orb.Features:
+    """Monocular frame construction: no depth, u_right < 0 everywhere
+    (pose optimization then uses the 2-dof mono residual)."""
+    return orb.extract(gray, cfg.orb, cfg.camera)
+
+
+@partial(jax.jit, static_argnums=(0,))
 def track_step(cfg: SlamConfig, m: ms.MapState, feats: orb.Features,
                Tcw_pred):
     """Track one frame against the map. Returns
@@ -271,6 +290,13 @@ class Tracker:
         self.compactions = getattr(self, "compactions", 0) + 1
         if self.on_compaction is not None:
             self.on_compaction(kf_map, kf_valid)
+
+    def process_stereo(self, gray_l, gray_r) -> np.ndarray:
+        """Track one rectified stereo pair (System::TrackStereo role):
+        identical state machine — stereo depth stands in for RGB-D depth."""
+        feats = extract_frame_stereo(self.cfg, jnp.asarray(gray_l),
+                                     jnp.asarray(gray_r))
+        return self.process(gray_l, None, feats=feats)
 
     def process(self, gray, depth, feats=None) -> np.ndarray:
         """Track one RGB-D frame; returns Tcw [7] (numpy).

@@ -115,3 +115,77 @@ def test_stereo_match_depth():
     assert np.median(rel) < 0.03, f"median depth error {np.median(rel):.3f}"
     # disparity sign convention: u_right < u_left for valid matches
     assert (np.asarray(u_right)[ok] < np.asarray(feats.xy_raw)[ok, 0]).all()
+
+
+PIPE_CFG = config.synthetic_config(
+    width=320, height=240,
+    orb=config.OrbConfig(n_features=600, max_keypoints=640),
+    capacity=config.MapCapacity(max_keyframes=64, max_points=8192,
+                                local_window=4, local_points=1024),
+)
+
+
+def test_stereo_pipeline_e2e():
+    """Full stereo tracking mode (System::TrackStereo contract): rectified
+    pairs in, trajectory out, ATE at RGB-D level — no depth image anywhere."""
+    from sgslam_tpu.eval import ate
+    from sgslam_tpu.slam.system import System
+
+    N = 24
+    seq = synthetic.SyntheticSequence(PIPE_CFG.camera, n_frames=N)
+    s = System(PIPE_CFG, enable_semantic=False, enable_mapping=False,
+               enable_loop=False)
+    for i in range(N):
+        gl, gr, _ = seq.frame_stereo(i)
+        s.track_stereo(gl, gr)
+    assert s.state == "OK"
+    assert s.tracker.n_kf >= 2
+    est_wc = np.stack([np.asarray(se3.se3_inverse(jnp.asarray(p)))
+                       for p in s.tracker.poses_cw()])
+    gt_wc = np.stack([np.asarray(seq.gt_pose_wc(i)) for i in range(N)])
+    rmse, _, _ = ate.ate_rmse(est_wc, gt_wc)
+    assert rmse < 0.06, f"stereo pipeline ATE {rmse:.4f}"
+
+
+def test_mono_pipeline_e2e():
+    """Full monocular mode (Tracking::MonocularInitialization +
+    CreateInitialMapMonocular, Tracking.cc:602-795): scale-free two-view
+    bootstrap, triangulation-driven map growth, Sim(3)-aligned ATE."""
+    from sgslam_tpu.eval import ate
+    from sgslam_tpu.slam.mono import MonoTracker
+
+    # mono relies on triangulation alone for map growth, so keyframes come
+    # densely (the reference's mono NeedNewKeyFrame is likewise far more
+    # permissive than RGB-D's, Tracking.cc:1040-1113)
+    mono_cfg = config.synthetic_config(
+        width=320, height=240,
+        orb=config.OrbConfig(n_features=600, max_keypoints=640),
+        tracker=config.TrackerConfig(max_frames_between_kf=2,
+                                     depth_threshold_factor=70.0),
+        capacity=config.MapCapacity(max_keyframes=64, max_points=8192,
+                                    local_window=4, local_points=1024),
+    )
+    N = 30
+    seq = synthetic.SyntheticSequence(mono_cfg.camera, n_frames=N)
+    tr = MonoTracker(mono_cfg)
+    init_frame = None
+    for i in range(N):
+        g, _ = seq.frame(i)
+        tr.process_mono(g)
+        if init_frame is None and tr.state == "OK":
+            init_frame = i
+    assert tr.state == "OK", "monocular tracking lost"
+    assert init_frame is not None and init_frame < 15, init_frame
+    assert tr.n_kf >= 2
+    # map grows by triangulation alone (no depth sensor anywhere)
+    assert int(np.asarray(tr.map.pt_valid).sum()) > 150
+    est = tr.poses_cw()[init_frame:]
+    est_wc = np.stack([np.asarray(se3.se3_inverse(jnp.asarray(p)))
+                       for p in est])
+    gt_wc = np.stack([np.asarray(seq.gt_pose_wc(i))
+                      for i in range(init_frame, N)])
+    # scale is unobservable in mono: Sim(3)-aligned ATE
+    rmse, _, _ = ate.ate_rmse(est_wc, gt_wc, with_scale=True)
+    span = np.linalg.norm(gt_wc[:, 4:7].max(0) - gt_wc[:, 4:7].min(0))
+    assert rmse < 0.06 * max(span, 1.0), (
+        f"mono pipeline Sim3-aligned ATE {rmse:.4f} over span {span:.2f}")

@@ -66,7 +66,7 @@ def test_run_tum_synthetic_end_to_end(tmp_path):
     out = str(tmp_path / "run")
     result = run_tum.main([
         "--synthetic", "40", "--seq-dir", str(tmp_path / "seq"),
-        "--no-mapping", "--no-detector", "--no-semantic",
+        "--no-detector", "--no-semantic",
         "--out", out, "--cpu"])
     assert result["state"] == "OK"
     assert result["frames"] == 40
