@@ -88,19 +88,21 @@ def main():
             ow=jax.device_put(obs_w, sh["pt"]),
             lam=jax.device_put(jnp.asarray(1e-3), sh["replicated"]))
 
-        def run(a=a, step=step):
-            p, x, lam = a["poses"], a["pts"], a["lam"]
+        def run(eps, a=a, step=step):
+            # fresh start point per rep: the axon tunnel caches identical
+            # executions, so repeated runs MUST vary their inputs
+            p, x, lam = a["poses"], a["pts"] + eps, a["lam"]
             for _ in range(args.iters):
                 p, x, lam = step(p, a["opt"], x, a["oc"], a["op"],
                                  a["ou"], a["ow"], lam)
             jax.block_until_ready(p)
             return p
 
-        run()                                  # compile
+        run(0.0)                               # compile
         t0 = time.perf_counter()
         reps = 3
-        for _ in range(reps):
-            run()
+        for i in range(reps):
+            run(1e-4 * (i + 1))
         dt = (time.perf_counter() - t0) / reps
         if base is None:
             base = dt
