@@ -59,6 +59,11 @@ class TrackerConfig:
     pose_opt_iters_stage1: int = 5
     pose_opt_rounds_stage2: int = 3
     pose_opt_iters_stage2: int = 5
+    # windowed local BA schedule (reference: 5 robust iters, outlier pass,
+    # 10 more — Optimizer.cc:648-709; GN with analytic Jacobians converges
+    # faster, and local BA re-runs every keyframe anyway)
+    local_ba_iters1: int = 4
+    local_ba_iters2: int = 8
 
 
 @dataclasses.dataclass(frozen=True)

@@ -71,14 +71,23 @@ def _huber_weight(chi2, delta2):
                      jnp.sqrt(delta2 / jnp.maximum(chi2, 1e-12)))
 
 
-@partial(jax.jit, static_argnums=(0,), static_argnames=("rounds", "iters"))
+@partial(jax.jit, static_argnums=(0,),
+         static_argnames=("rounds", "iters", "guarded"))
 def pose_optimization(cam: Camera, Tcw0, pw, obs, inv_sigma2, valid,
-                      *, rounds: int = 4, iters: int = 10):
+                      *, rounds: int = 4, iters: int = 10,
+                      guarded: bool = True):
     """Optimize one pose. Returns (Tcw, inlier_mask, n_inliers).
 
     pw: [N,3] world points; obs: [N,3] (u, v, u_right<0 for mono);
     inv_sigma2: [N] per-observation information (1/1.2^(2 level));
     valid: [N] bool initial correspondence mask.
+
+    guarded=True evaluates the robust cost at the proposed pose and
+    rejects non-improving steps (g2o-LM-like); guarded=False trusts the
+    damped GN step — HALF the residual/Jacobian evaluations per
+    iteration, for hot paths whose outer logic already gates on the
+    inlier count (a diverged pose simply reports few inliers and the
+    tracker falls back).
     """
     stereo_mask = obs[..., 2] >= 0
     delta2 = jnp.where(stereo_mask, CHI2_STEREO, CHI2_MONO)
@@ -102,6 +111,8 @@ def pose_optimization(cam: Camera, Tcw0, pw, obs, inv_sigma2, valid,
             H = H + 1e-5 * jnp.eye(6, dtype=H.dtype)
             dx = jnp.linalg.solve(H, -b)
             Tnew = se3.se3_compose(se3.se3_exp(dx), Tcw)
+            if not guarded:
+                return Tnew
             # reject steps that don't reduce the masked robust cost
             c_old = jnp.sum(chi2 * hw * inlier)
             r2, _, _ = _residual_jac(cam, Tnew, pw, obs, inv_sigma2,

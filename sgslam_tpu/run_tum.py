@@ -140,6 +140,89 @@ class AsyncVizExporter:
                 trajectory_cw=trajectory_cw)
 
 
+def _run_chunked(args, cfg, seq, seq_dir: str, n: int):
+    """The ONE complete real-time configuration: the chunked pipeline with
+    loop closing, relocalization, and semantic mapping at the drain
+    boundary (slam/scan_pipeline) — tracking dispatches once per chunk."""
+    import jax.numpy as jnp
+
+    from .io import trajectory as traj_io
+    from .slam import scan_pipeline
+    from .slam.loop_closing import LoopCloser
+
+    semantic = not args.no_semantic and not args.no_detector
+    detector = None
+    if semantic:
+        from .models.detector import Detector2D
+
+        detector = Detector2D(cfg.detector)
+    loop = None if args.no_loop else LoopCloser(cfg)
+    mapper = None
+    if not args.no_mapping:
+        from .mapping.semantic_mapper import SemanticMapper
+
+        mapper = SemanticMapper(cfg)
+
+    cls = (scan_pipeline.ChunkedSemanticTracker if semantic
+           else scan_pipeline.ChunkedTracker)
+    kw = dict(chunk=args.chunk, fetch_every=args.fetch_every, loop=loop,
+              mapper=mapper)
+    ct = (cls(cfg, detector, **kw) if semantic else cls(cfg, **kw))
+
+    t_start = time.perf_counter()
+    t_steady = None
+    buf_g, buf_d = [], []
+    n_done = 0
+    for i, gray, depth, rgb in seq.prefetch():
+        if i >= n:
+            break
+        if ct._carry is None:
+            ct.bootstrap(jnp.asarray(gray), jnp.asarray(depth))
+            n_done += 1
+            continue
+        buf_g.append(gray)
+        buf_d.append(depth)
+        if len(buf_g) == args.chunk:
+            ct.process_chunk(jnp.asarray(np.stack(buf_g)),
+                             jnp.asarray(np.stack(buf_d)))
+            n_done += args.chunk
+            buf_g, buf_d = [], []
+            if t_steady is None:
+                t_steady = time.perf_counter()   # exclude compiles
+    ct.flush()
+    wall = time.perf_counter() - t_start
+    steady = time.perf_counter() - (t_steady or t_start)
+    fps = (n_done - args.chunk) / steady if steady > 0 else 0.0
+
+    os.makedirs(args.out, exist_ok=True)
+    poses = ct.poses_cw()
+    ts = [float(seq.timestamps[i]) for i in range(len(poses))]
+    traj_path = os.path.join(args.out, "CameraTrajectory.txt")
+    traj_io.save_tum(traj_path, ts, poses)
+    m = ct.map
+    valid = np.asarray(m.kf_valid)
+    kf_ts = [float(seq.timestamps[min(int(f), n - 1)])
+             for f in np.asarray(m.kf_frame_id)[valid]]
+    traj_io.save_tum(os.path.join(args.out, "KeyFrameTrajectory.txt"),
+                     kf_ts, np.asarray(m.kf_pose)[valid])
+    ate_rmse = _evaluate_ate(seq_dir, ts, poses)
+    result = {
+        "mode": "chunked", "frames": n_done, "fps": round(fps, 2),
+        "wall_s": round(wall, 2), "state": "OK"
+        if (ct.n_inliers_hist and ct.n_inliers_hist[-1]
+            >= cfg.tracker.min_inliers_local_map) else "LOST",
+        "keyframes": int(valid.sum()),
+        "loops_closed": ct.loops_closed, "relocalizations": ct.relocs,
+        "objects": (int(np.asarray(mapper.objects.valid).sum())
+                    if mapper is not None else None),
+        "ate_rmse_m": (round(ate_rmse, 4)
+                       if ate_rmse is not None else None),
+        "trajectory": traj_path,
+    }
+    print(json.dumps(result))
+    return result
+
+
 def main(argv=None):
     ap = argparse.ArgumentParser(
         description="Run the SLAM system over a TUM RGB-D sequence")
@@ -159,6 +242,11 @@ def main(argv=None):
     ap.add_argument("--no-loop", action="store_true")
     ap.add_argument("--no-mapping", action="store_true")
     ap.add_argument("--no-detector", action="store_true")
+    ap.add_argument("--chunked", action="store_true",
+                    help="run the one-dispatch-per-chunk real-time path "
+                         "(slam/scan_pipeline) instead of per-frame System")
+    ap.add_argument("--chunk", type=int, default=4)
+    ap.add_argument("--fetch-every", type=int, default=6)
     ap.add_argument("--max-frames", type=int, default=0)
     ap.add_argument("--out", default=".", help="output directory")
     ap.add_argument("--viz", default=None, metavar="DIR",
@@ -204,6 +292,9 @@ def main(argv=None):
                       if not args.synthetic else 5000.0)
     n = len(seq) if not args.max_frames else min(len(seq), args.max_frames)
     print(f"sequence: {seq_dir} ({n} frames)", file=sys.stderr)
+
+    if args.chunked:
+        return _run_chunked(args, cfg, seq, seq_dir, n)
 
     system = System(cfg,
                     enable_semantic=not args.no_semantic,

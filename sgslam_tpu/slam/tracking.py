@@ -95,7 +95,7 @@ def track_step(cfg: SlamConfig, m: ms.MapState, feats: orb.Features,
         inv_s2 = (1.0 / cfg.orb.scale_factor ** 2) ** lv
         Tcw, inl, n = pose_opt.pose_optimization(
             cfg.camera, Tcw_in, local.pos, obs, inv_s2, ok,
-            rounds=rounds, iters=iters)
+            rounds=rounds, iters=iters, guarded=False)
         return Tcw, idx, ok & inl, n
 
     # Stage 1: wide search at predicted pose (motion-model contract)
@@ -156,7 +156,9 @@ def local_ba_step(cfg: SlamConfig, m: ms.MapState, center_kf):
     prob, pids = lm.build_ba_problem(cfg.camera, m, ids, opt_mask,
                                      max_points=cap.local_points,
                                      scale_factor=cfg.orb.scale_factor)
-    poses, points, inlier = local_ba.bundle_adjust(cfg.camera, prob)
+    poses, points, inlier = local_ba.bundle_adjust(
+        cfg.camera, prob, iters1=cfg.tracker.local_ba_iters1,
+        iters2=cfg.tracker.local_ba_iters2)
     return lm.writeback_ba(m, ids, opt_mask, poses, pids, points)
 
 

@@ -79,3 +79,22 @@ def test_run_tum_synthetic_end_to_end(tmp_path):
         str(tmp_path / "seq"), "depth",
         sorted(os.listdir(tmp_path / "seq" / "depth"))[0]))
     assert d.dtype == np.uint16
+
+
+@pytest.mark.slow
+def test_run_tum_chunked_end_to_end(tmp_path):
+    """The --chunked runner: the one-dispatch-per-chunk real-time system
+    (loop closer + mapper at the drain boundary) through the CLI."""
+    from sgslam_tpu import run_tum
+
+    out = str(tmp_path / "run")
+    result = run_tum.main([
+        "--synthetic", "38", "--seq-dir", str(tmp_path / "seq"),
+        "--chunked", "--no-detector", "--no-semantic",
+        "--out", out, "--cpu"])
+    assert result["state"] == "OK"
+    assert result["ate_rmse_m"] is not None
+    assert result["ate_rmse_m"] < 0.06, result
+    assert result["keyframes"] >= 2
+    traj = np.loadtxt(os.path.join(out, "CameraTrajectory.txt"))
+    assert traj.shape[1] == 8
