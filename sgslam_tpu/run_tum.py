@@ -252,6 +252,9 @@ def main(argv=None):
     ap.add_argument("--viz", default=None, metavar="DIR",
                     help="async keypoint-overlay PNG export directory")
     ap.add_argument("--viz-every", type=int, default=10)
+    ap.add_argument("--serve", type=int, default=0, metavar="PORT",
+                    help="start the live HTTP viewer on PORT "
+                         "(sgslam_tpu.viewer; browse to /)")
     ap.add_argument("--cpu", action="store_true", help="force JAX CPU")
     args = ap.parse_args(argv)
 
@@ -305,6 +308,13 @@ def main(argv=None):
 
     viz_exp = (AsyncVizExporter(args.viz, args.viz_every)
                if args.viz else None)
+    live = None
+    if args.serve:
+        from .viewer import LiveViewer
+
+        live = LiveViewer(port=args.serve).start()
+        print(f"live viewer: http://127.0.0.1:{live.port}/",
+              file=sys.stderr)
     t_start = time.perf_counter()
     t_first = None
     for i, gray, depth, rgb in seq.prefetch():
@@ -320,9 +330,22 @@ def main(argv=None):
         if viz_exp is not None and system.last_feats is not None:
             f = system.last_feats
             viz_exp.submit(i, gray, f.xy_raw, f.valid)
+        if live is not None and system.last_feats is not None:
+            f = system.last_feats
+            live.publish_frame(gray, np.asarray(f.xy_raw),
+                               np.asarray(f.valid))
+            if i % 30 == 0:
+                live.publish_map(system.tracker.map)
+                if system.mapper is not None:
+                    live.publish_occupancy(system.mapper.occupancy_2d())
+            live.publish_stats(frame=i, state=system.state,
+                               keyframes=system.tracker.n_kf)
         if t_first is None:
             t_first = time.perf_counter()   # exclude first-frame compiles
     system.shutdown()
+    if live is not None:
+        live.publish_map(system.tracker.map)
+        live.stop()
     if viz_exp is not None:
         viz_exp.close(system.tracker.map,
                       trajectory_cw=system.tracker.poses_cw())
