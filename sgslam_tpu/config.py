@@ -228,6 +228,27 @@ def bonn_config(**over) -> SlamConfig:
     return SlamConfig(camera=cam, **over)
 
 
+def openloris_config(**over) -> SlamConfig:
+    """OpenLORIS-Scene (RealSense D435i color stream, 848x480; depth is
+    registered to color with a 0.001 m/unit scale -> depth_map_factor
+    1000). Intrinsics follow the dataset's published d400 sensor profile;
+    per-sequence sensors.yaml values should override when available."""
+    cam = Camera(fx=611.45, fy=611.49, cx=433.20, cy=249.47,
+                 bf=30.6, width=848, height=480)
+    over.setdefault("depth_map_factor", 1000.0)
+    return SlamConfig(camera=cam, **over)
+
+
+def astra_pro_config(**over) -> SlamConfig:
+    """Live Orbbec Astra Pro camera (the reference's
+    Examples/astra_pro_camera.yaml: DepthMapFactor 1.0 because the driver
+    already delivers meters)."""
+    cam = Camera(fx=554.26, fy=554.26, cx=320.0, cy=240.0, bf=40.0,
+                 width=640, height=480)
+    over.setdefault("depth_map_factor", 1.0)
+    return SlamConfig(camera=cam, **over)
+
+
 def synthetic_config(width: int = 640, height: int = 480, **over) -> SlamConfig:
     """Config for the synthetic RGB-D renderer used by tests/bench.
 

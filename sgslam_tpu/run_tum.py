@@ -230,7 +230,8 @@ def main(argv=None):
     ap.add_argument("assoc", nargs="?", default=None,
                     help="association file (rgb<->depth); auto if omitted")
     ap.add_argument("--preset", default="tum3",
-                    choices=["tum1", "tum2", "tum3", "bonn", "synthetic"])
+                    choices=["tum1", "tum2", "tum3", "bonn", "openloris",
+                             "astra_pro", "synthetic"])
     ap.add_argument("--synthetic", type=int, default=0, metavar="N",
                     help="generate an N-frame synthetic dataset first")
     ap.add_argument("--seq-dir", dest="seq_dir_opt", default=None)

@@ -181,3 +181,56 @@ def reject_dynamic_matched(cfg: DynamicConfig, kp_xy, kp_valid,
 def apply_keep_mask(feats, keep):
     """Culling = masking (replaces the reference's descriptor-row erase)."""
     return dataclasses.replace(feats, valid=feats.valid & keep)
+
+
+class SemanticFrontend:
+    """Per-frame dynamic-rejection state machine shared by the System path
+    and the chunked runner's bootstrap: previous-frame features/boxes/gray
+    + the PRNG for F-RANSAC, with the reference's init-frame semantic-only
+    cull (no flow geometry before the first keyframe) and the full
+    semantic+geometric cull afterwards (Frame.cc:430-612). One
+    implementation, two callers — keeping the init-frame semantics in a
+    single place."""
+
+    def __init__(self, cfg, seed: int = 3):
+        self.cfg = cfg
+        self.prev_feats = None
+        self.prev_gray = None
+        self.prev_boxes = Boxes.empty(cfg.detector.max_boxes)
+        self._key = jax.random.PRNGKey(seed)
+
+    def cull(self, gray, feats, person_cull_boxes: Boxes,
+             map_initialized: bool):
+        """Returns the culled feature block for tracking. Call `push`
+        afterwards with the PRE-cull features + this frame's dynamic boxes
+        (the next frame's match target)."""
+        cfg = self.cfg
+        if not map_initialized:
+            # initialization frames have no flow geometry yet: cull purely
+            # by the person boxes so the FIRST keyframe's map contains no
+            # moving points
+            inside = in_any_box(feats.xy_raw, person_cull_boxes,
+                                jnp.ones_like(person_cull_boxes.valid))
+            feats = apply_keep_mask(feats, ~inside)
+        if self.prev_feats is None:
+            return feats
+        self._key, sub = jax.random.split(self._key)
+        if cfg.dynamic.use_lk_flow:
+            keep, _, _ = reject_dynamic(
+                cfg.dynamic, gray, self.prev_gray, feats.xy_raw,
+                feats.valid, person_cull_boxes, self.prev_boxes, sub)
+        else:
+            p = self.prev_feats
+            prev_xy, status = match_prev_frame(
+                cfg.matcher, cfg.orb.scale_factor, feats,
+                p.xy_raw, p.level, p.angle, p.desc, p.valid,
+                radius=cfg.dynamic.match_radius)
+            keep, _, _ = reject_dynamic_matched(
+                cfg.dynamic, feats.xy_raw, feats.valid, prev_xy, status,
+                person_cull_boxes, self.prev_boxes, sub)
+        return apply_keep_mask(feats, keep)
+
+    def push(self, gray, feats_raw, dynamic_boxes: Boxes):
+        self.prev_gray = gray
+        self.prev_feats = feats_raw
+        self.prev_boxes = dynamic_boxes

@@ -314,6 +314,7 @@ class _ChunkRunnerBase:
             # resumes at an idle drain via continue_gba below
             loop.should_abort_gba = lambda: bool(self._kf_events)
         self.inner = tracking.Tracker(cfg)
+        self._frontend = dyn_mod.SemanticFrontend(cfg)
         if loop is not None:
             self.inner.on_compaction = loop.remap_keyframes
         self._fn = make_track_chunk(cfg, detector, semantic=self.semantic)
@@ -339,33 +340,18 @@ class _ChunkRunnerBase:
     def bootstrap(self, gray, depth):
         gray = jnp.asarray(gray)
         feats = tracking.extract_frame(self.cfg, gray, depth)
-        cull_b = dyn_b = Boxes.empty(self.cfg.detector.max_boxes)
+        feats_raw = feats
+        dyn_b = Boxes.empty(self.cfg.detector.max_boxes)
         if self.semantic and self.detector is not None:
             rgb = jnp.repeat(gray[..., None], 3, axis=-1)
             _, cull_b, dyn_b, _ = self.detector.detect(
                 rgb, self.cfg.camera.width, self.cfg.camera.height)
-            if self.inner.state == "NOT_INITIALIZED":
-                # semantic-only cull before the first keyframe exists
-                inside = dyn_mod.in_any_box(
-                    feats.xy_raw, cull_b, jnp.ones_like(cull_b.valid))
-                feats = dyn_mod.apply_keep_mask(feats, ~inside)
-            prev = getattr(self, "_boot_prev", None)
-            if prev is not None:
-                self._boot_key, sub = jax.random.split(self._boot_key)
-                prev_xy, status = dyn_mod.match_prev_frame(
-                    self.cfg.matcher, self.cfg.orb.scale_factor, feats,
-                    prev.xy_raw, prev.level, prev.angle, prev.desc,
-                    prev.valid, radius=self.cfg.dynamic.match_radius)
-                keep, _, _ = dyn_mod.reject_dynamic_matched(
-                    self.cfg.dynamic, feats.xy_raw, feats.valid, prev_xy,
-                    status, cull_b, self._boot_prev_boxes, sub)
-                feats = dyn_mod.apply_keep_mask(feats, keep)
-            else:
-                self._boot_key = jax.random.PRNGKey(3)
-
-        feats_raw = tracking.extract_frame(self.cfg, gray, depth)
-        self._boot_prev = feats_raw
-        self._boot_prev_boxes = dyn_b
+            # shared init-frame + per-frame semantic cull (ONE
+            # implementation with the System path)
+            feats = self._frontend.cull(
+                gray, feats, cull_b,
+                map_initialized=self.inner.state != "NOT_INITIALIZED")
+        self._frontend.push(gray, feats_raw, dyn_b)
         self.inner.process(gray, depth, feats=feats)
         self.trajectory.append(np.asarray(self.inner.Tcw))
         self._traj_ref.append(-1)

@@ -46,14 +46,11 @@ class System:
         if self.loop is not None:
             self.tracker.on_compaction = self.loop.remap_keyframes
 
-        self.prev_gray = None
-        self.prev_feats = None
+        self.frontend = dyn_mod.SemanticFrontend(cfg, seed=7)
         self.last_feats = None
-        self.prev_dynamic_boxes = Boxes.empty(cfg.detector.max_boxes)
         self.person_cull_boxes = Boxes.empty(cfg.detector.max_boxes)
         self.object_boxes = None
         self.timestamps: list[float] = []
-        self._key = jax.random.PRNGKey(7)
         # per-stage timing registry (SURVEY.md §5: the reference's profiling
         # is commented-out chrono blocks; here it is always on)
         self.metrics = Metrics()
@@ -85,42 +82,19 @@ class System:
             feats = tracking.extract_frame(cfg, gray, depth)
         feats_raw = feats   # pre-cull block: next frame's match target
 
-        # initialization frames have no flow geometry yet: cull purely by
-        # the person boxes so the FIRST keyframe's map contains no moving
-        # points (the nearest-first point budget would otherwise be
-        # dominated by a close walking person)
-        if (self.enable_semantic and self.tracker.state == "NOT_INITIALIZED"
-                and self.detector is not None):
-            inside = dyn_mod.in_any_box(
-                feats.xy_raw, self.person_cull_boxes,
-                jnp.ones_like(self.person_cull_boxes.valid))
-            feats = dyn_mod.apply_keep_mask(feats, ~inside)
-
-        # semantic + geometric dynamic rejection (SG-SLAM core novelty).
-        # Correspondences come from windowed ORB matching against the
-        # previous frame's (pre-cull) features — the TPU-first form of the
-        # reference's LK flow (see semantic/dynamic.match_prev_frame).
-        if self.enable_semantic and self.prev_feats is not None:
+        # semantic + geometric dynamic rejection (SG-SLAM core novelty):
+        # init-frame box-only cull, then the flow -> box-purge -> F-RANSAC
+        # -> epipolar cull per frame (semantic/dynamic.SemanticFrontend —
+        # shared with the chunked runner's bootstrap)
+        if self.enable_semantic:
             with self.metrics.timer("dynamic_cull"):
-                self._key, sub = jax.random.split(self._key)
-                if cfg.dynamic.use_lk_flow:
-                    # the reference's exact correspondence mechanism:
-                    # pyramidal LK flow current -> previous (Frame.cc:445)
-                    keep, _, _ = dyn_mod.reject_dynamic(
-                        cfg.dynamic, gray, self.prev_gray, feats.xy_raw,
-                        feats.valid, self.person_cull_boxes,
-                        self.prev_dynamic_boxes, sub)
-                else:
-                    p = self.prev_feats
-                    prev_xy, status = dyn_mod.match_prev_frame(
-                        cfg.matcher, cfg.orb.scale_factor, feats,
-                        p.xy_raw, p.level, p.angle, p.desc, p.valid,
-                        radius=cfg.dynamic.match_radius)
-                    keep, _, _ = dyn_mod.reject_dynamic_matched(
-                        cfg.dynamic, feats.xy_raw, feats.valid, prev_xy,
-                        status, self.person_cull_boxes,
-                        self.prev_dynamic_boxes, sub)
-                feats = dyn_mod.apply_keep_mask(feats, keep)
+                # the init-frame box-only cull needs real detections;
+                # oracle-box tests inject boxes only after initialization
+                init_done = (self.tracker.state != "NOT_INITIALIZED"
+                             or self.detector is None)
+                feats = self.frontend.cull(gray, feats,
+                                           self.person_cull_boxes,
+                                           map_initialized=init_done)
 
         with self.metrics.timer("track"):
             Tcw = self.tracker.process(gray, depth, feats=feats)
@@ -161,10 +135,21 @@ class System:
                         gray, depth, jnp.asarray(Tcw), dynamic_boxes,
                         self.object_boxes)
 
-        self.prev_gray = gray
-        self.prev_feats = feats_raw
-        self.prev_dynamic_boxes = dynamic_boxes
+        self.frontend.push(gray, feats_raw, dynamic_boxes)
         return Tcw
+
+    # oracle-box injection hooks (tests drive the cull without a detector)
+    @property
+    def prev_dynamic_boxes(self):
+        return self.frontend.prev_boxes
+
+    @prev_dynamic_boxes.setter
+    def prev_dynamic_boxes(self, boxes):
+        self.frontend.prev_boxes = boxes
+
+    @property
+    def prev_feats(self):
+        return self.frontend.prev_feats
 
     # ------------------------------------------------------------------
     def track_stereo(self, gray_l, gray_r) -> np.ndarray:
