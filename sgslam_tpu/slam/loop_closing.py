@@ -180,15 +180,28 @@ def _apply_correction(m: ms.MapState, old_poses, new_poses) -> ms.MapState:
 
 
 class LoopCloser:
-    """Host orchestration of the loop-closing pipeline."""
+    """Host orchestration of the loop-closing pipeline.
 
-    def __init__(self, cfg: SlamConfig, vocab=None):
+    deferred=True delays each keyframe's candidate inspection to the NEXT
+    on_keyframe call (or flush): the detection results are device arrays
+    whose host copy is started asynchronously, so the fetch that would
+    otherwise cost a synchronous tunnel round trip per keyframe overlaps
+    device work — the real-time chunked runner uses this (the reference's
+    LoopClosing likewise lags tracking through its queue,
+    LoopClosing.cc:57-88)."""
+
+    def __init__(self, cfg: SlamConfig, vocab=None, deferred: bool = False):
         self.cfg = cfg
         # default = the packaged trained vocabulary asset (ORBvoc.bin role)
         self.vocab = vocab if vocab is not None else vocab_mod.default_vocab()
         K = cfg.capacity.max_keyframes
         self.bow_db = jnp.zeros((K, self.vocab.n_words), jnp.float32)
         self.db_valid = jnp.zeros(K, bool)
+        self.deferred = deferred
+        self._deferred_det = None       # (kf_id, cand_i, cand_s, cov_top)
+        # (kf_id, old_pose, new_pose) of the most recent correction — the
+        # runner re-anchors its live tracking state through this delta
+        self.last_correction = None
         self._consistency: dict[int, int] = {}  # candidate -> streak
         self.loops_closed: list[tuple[int, int]] = []
         # cooperative-cancel hook for the post-loop global BA (mbStopGBA
@@ -203,6 +216,9 @@ class LoopCloser:
     def remap_keyframes(self, kf_old_to_new, old_valid):
         """Follow a map compaction: permute the BoW database rows and the
         consistency streaks to the new keyframe slots."""
+        # a deferred detection holds a pre-compaction slot id; the runner
+        # resolves via flush() before compacting, but drop defensively
+        self._deferred_det = None
         K = self.bow_db.shape[0]
         old_valid = jnp.asarray(old_valid)
         dst = jnp.where(old_valid, jnp.asarray(kf_old_to_new), K)
@@ -218,13 +234,45 @@ class LoopCloser:
                              self._consistency.items() if ov[k]}
 
     def on_keyframe(self, m: ms.MapState, kf_id: int):
-        """Update the database; returns a corrected map if a loop closes."""
-        cfg = self.cfg
+        """Update the database; returns a corrected map if a loop closes
+        (in deferred mode, the correction triggered by the PREVIOUS
+        keyframe's candidates)."""
+        corrected = None
+        if self._deferred_det is not None:
+            corrected = self._inspect(m, *self._deferred_det)
+            self._deferred_det = None
+            m = corrected if corrected is not None else m
         (self.bow_db, self.db_valid, cand_i, cand_s,
          cov_top) = _kf_update(self.vocab, m, self.bow_db, self.db_valid,
                                jnp.asarray(kf_id, jnp.int32))
         if kf_id < 10:
+            return corrected
+        if self.deferred:
+            for a in (cand_i, cand_s, cov_top):
+                try:
+                    a.copy_to_host_async()
+                except Exception:
+                    pass
+            self._deferred_det = (kf_id, cand_i, cand_s, cov_top)
+            return corrected
+        out = self._inspect(m, kf_id, cand_i, cand_s, cov_top)
+        return out if out is not None else corrected
+
+    def flush(self, m: ms.MapState):
+        """Resolve a deferred detection (sequence end / drain idle)."""
+        if self._deferred_det is None:
             return None
+        out = self._inspect(m, *self._deferred_det)
+        self._deferred_det = None
+        return out
+
+    def _inspect(self, m: ms.MapState, kf_id: int, cand_i, cand_s,
+                 cov_top):
+        """Streak bookkeeping + geometric verification + correction.
+        (A deferred keyframe is at most one insertion old, within
+        cull_keyframes' protect_last window — its slot cannot have been
+        culled between detection and inspection.)"""
+        cfg = self.cfg
         # one packed fetch for everything the host inspects
         cand_i, cand_s, cov_top = jax.device_get((cand_i, cand_s, cov_top))
 
@@ -261,7 +309,11 @@ class LoopCloser:
         # covisibility matrix is only materialized on this rare path)
         self.loops_closed.append((int(kf_id), int(hit)))
         self._consistency = {}
-        return self._correct(m, kf_id, hit, S_ab, ms.covisibility(m))
+        old_pose = m.kf_pose[kf_id]
+        corrected = self._correct(m, kf_id, hit, S_ab, ms.covisibility(m))
+        self.last_correction = (kf_id, old_pose,
+                                corrected.kf_pose[kf_id])
+        return corrected
 
     def _verify_candidates(self, m: ms.MapState, kf_id: int,
                            hits: list[int]):

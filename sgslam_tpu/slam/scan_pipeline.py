@@ -313,6 +313,9 @@ class _ChunkRunnerBase:
             # event preempts a running post-loop global BA; the remainder
             # resumes at an idle drain via continue_gba below
             loop.should_abort_gba = lambda: bool(self._kf_events)
+            # candidate inspection lags one keyframe so its host fetch
+            # overlaps device work (no per-KF tunnel round trip)
+            loop.deferred = True
         self.inner = tracking.Tracker(cfg)
         self._frontend = dyn_mod.SemanticFrontend(cfg)
         if loop is not None:
@@ -475,26 +478,27 @@ class _ChunkRunnerBase:
                                         jnp.asarray(ev.pose),
                                         ev.dyn_boxes, ev.obj_boxes)
         if self.loop is not None:
-            old_pose = np.asarray(self._map.kf_pose[kf_id])
             corrected = self.loop.on_keyframe(self._map, kf_id)
-            if corrected is not None:
-                self.loops_closed += 1
-                self._world_corrected = True
-                new_pose = jnp.asarray(corrected.kf_pose[kf_id])
-                self._map = corrected
-                # re-anchor the live tracking state into the corrected
-                # world: T' = T o inv(T_kf_old) o T_kf_new (velocity is
-                # invariant under the world re-anchoring)
-                delta = se3.se3_compose(
-                    se3.se3_inverse(jnp.asarray(old_pose)), new_pose)
-                self._carry = dataclasses.replace(
-                    self._carry,
-                    Tcw=se3.se3_compose(self._carry.Tcw, delta))
-                p = self._pending_dev
-                if bool(np.asarray(p[0])):
-                    self._pending_dev = (
-                        p[0], p[1], se3.se3_compose(p[2], delta), p[3],
-                        p[4])
+            self._install_correction(corrected)
+
+    def _install_correction(self, corrected):
+        """Adopt a loop-corrected map and re-anchor the live tracking
+        state through the correction delta of the loop keyframe:
+        T' = T o inv(T_kf_old) o T_kf_new (velocity is invariant under
+        the world re-anchoring)."""
+        if corrected is None:
+            return
+        self.loops_closed += 1
+        self._world_corrected = True
+        _, old_pose, new_pose = self.loop.last_correction
+        self._map = corrected
+        delta = se3.se3_compose(se3.se3_inverse(old_pose), new_pose)
+        self._carry = dataclasses.replace(
+            self._carry, Tcw=se3.se3_compose(self._carry.Tcw, delta))
+        p = self._pending_dev
+        if bool(np.asarray(p[0])):
+            self._pending_dev = (
+                p[0], p[1], se3.se3_compose(p[2], delta), p[3], p[4])
 
     def _try_relocalize(self, feats_last):
         T, n = self.loop.relocalize(self._map, feats_last)
@@ -505,7 +509,8 @@ class _ChunkRunnerBase:
                 velocity=se3.se3_identity())
 
     def flush(self):
-        """Drain in-flight chunks and apply the queued keyframe."""
+        """Drain in-flight chunks, apply the queued keyframe, resolve any
+        deferred loop detection."""
         self._drain_all()
         if self._pending_dev is None:
             return
@@ -519,6 +524,13 @@ class _ChunkRunnerBase:
                 ev = self._kf_events.pop(0)
                 self._on_keyframe_inserted(nk - 1, ev)
             self._next_kf_host = nk
+        if self.loop is not None:
+            self._install_correction(self.loop.flush(self._map))
+            if self._world_corrected:
+                self._world_corrected = False
+                if self._ref_slot >= 0:
+                    self._ref_pose_ins = np.asarray(
+                        self._map.kf_pose[self._ref_slot])
 
     flush_keyframes = flush
 
