@@ -97,7 +97,7 @@ class SSDLite(nn.Module):
 
 def make_anchors(input_size: int = 300,
                  feat_sizes: Sequence[int] = (19, 10),
-                 scales: Sequence[float] = (0.25, 0.5),
+                 scales: Sequence[float] = (0.16, 0.45),
                  ratios: Sequence[float] = (1.0, 2.0, 0.5)) -> np.ndarray:
     """SSD anchors (cx, cy, w, h) normalized to [0,1]. [A_total, 4]."""
     anchors = []

@@ -256,6 +256,13 @@ def main(argv=None):
     ap.add_argument("--serve", type=int, default=0, metavar="PORT",
                     help="start the live HTTP viewer on PORT "
                          "(sgslam_tpu.viewer; browse to /)")
+    ap.add_argument("--save-map", default=None, metavar="PATH",
+                    help="save the final map + keyframe database "
+                         "(System::SaveMap role — the reference's TODO)")
+    ap.add_argument("--load-map", default=None, metavar="PATH",
+                    help="restore a saved map before tracking starts")
+    ap.add_argument("--localize-only", action="store_true",
+                    help="with --load-map: freeze the map and only track")
     ap.add_argument("--cpu", action="store_true", help="force JAX CPU")
     args = ap.parse_args(argv)
 
@@ -306,6 +313,11 @@ def main(argv=None):
                     enable_mapping=not args.no_mapping)
     if args.no_detector:
         system.detector = None
+    if args.load_map:
+        system.load_checkpoint(args.load_map,
+                               localization_only=args.localize_only)
+        print(f"restored map: {args.load_map} "
+              f"({system.tracker.n_kf} keyframes)", file=sys.stderr)
 
     viz_exp = (AsyncVizExporter(args.viz, args.viz_every)
                if args.viz else None)
@@ -357,6 +369,9 @@ def main(argv=None):
     fps = (n - 1) / steady if n > 1 and steady > 0 else 0.0
 
     os.makedirs(args.out, exist_ok=True)
+    if args.save_map:
+        system.save_checkpoint(args.save_map)
+        print(f"saved map: {args.save_map}", file=sys.stderr)
     traj_path = os.path.join(args.out, "CameraTrajectory.txt")
     kf_path = os.path.join(args.out, "KeyFrameTrajectory.txt")
     system.save_trajectory_tum(traj_path)
