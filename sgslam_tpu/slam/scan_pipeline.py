@@ -87,7 +87,8 @@ insert_and_maintain = partial(jax.jit, static_argnums=(0,),
                               donate_argnums=(1,))(insert_and_maintain_body)
 
 
-def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False):
+def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False,
+                     stereo: bool = False):
     """Build the jitted per-chunk program.
 
     Returns fn(det_params, m, carry, grays, depths, pending) ->
@@ -100,6 +101,9 @@ def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False):
     (for the semantic mapper); feats_last is the last frame's culled
     feature block (for host-side relocalization on tracking loss).
     det_params is ignored when detector is None (pass None).
+    stereo=True interprets (grays, depths) as the rectified (left, right)
+    image pair and fills depth by epipolar SAD search instead
+    (extract_frame_stereo) — the stereo mode on the real-time path.
     """
     t = cfg.tracker
     W, H = cfg.camera.width, cfg.camera.height
@@ -163,8 +167,14 @@ def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False):
 
         n = grays.shape[0]
         # ---- batched per-frame stages (wide, parallel) ----
-        feats = jax.vmap(
-            lambda g, d: tracking.extract_frame(cfg, g, d))(grays, depths)
+        if stereo:
+            feats = jax.vmap(
+                lambda gl, gr: tracking.extract_frame_stereo(cfg, gl, gr))(
+                grays, depths)
+        else:
+            feats = jax.vmap(
+                lambda g, d: tracking.extract_frame(cfg, g, d))(grays,
+                                                                depths)
 
         if detector is not None:
             cull_boxes, dyn_boxes, obj_boxes = detect_batch(det_params,
@@ -297,6 +307,7 @@ class _ChunkRunnerBase:
     Loop closing / relocalization / semantic mapping fire at drain time."""
 
     semantic = False
+    stereo = False
 
     def __init__(self, cfg: SlamConfig, detector=None, chunk: int = 8,
                  pipeline_depth: int = 0, fetch_every: int | None = None,
@@ -320,7 +331,8 @@ class _ChunkRunnerBase:
         self._frontend = dyn_mod.SemanticFrontend(cfg)
         if loop is not None:
             self.inner.on_compaction = loop.remap_keyframes
-        self._fn = make_track_chunk(cfg, detector, semantic=self.semantic)
+        self._fn = make_track_chunk(cfg, detector, semantic=self.semantic,
+                                    stereo=self.stereo)
         self._carry = None
         self._pending_dev = None          # device pending tuple
         self._pending_proto = None
@@ -341,8 +353,13 @@ class _ChunkRunnerBase:
 
     # -- bootstrap: per-frame path until the map initializes --
     def bootstrap(self, gray, depth):
+        """For stereo runners, (gray, depth) is the (left, right) pair."""
         gray = jnp.asarray(gray)
-        feats = tracking.extract_frame(self.cfg, gray, depth)
+        if self.stereo:
+            feats = tracking.extract_frame_stereo(self.cfg, gray,
+                                                  jnp.asarray(depth))
+        else:
+            feats = tracking.extract_frame(self.cfg, gray, depth)
         feats_raw = feats
         dyn_b = Boxes.empty(self.cfg.detector.max_boxes)
         if self.semantic and self.detector is not None:
@@ -355,7 +372,8 @@ class _ChunkRunnerBase:
                 gray, feats, cull_b,
                 map_initialized=self.inner.state != "NOT_INITIALIZED")
         self._frontend.push(gray, feats_raw, dyn_b)
-        self.inner.process(gray, depth, feats=feats)
+        self.inner.process(gray, None if self.stereo else depth,
+                           feats=feats)
         self.trajectory.append(np.asarray(self.inner.Tcw))
         self._traj_ref.append(-1)
         self._traj_refpose.append(np.asarray(se3.se3_identity()))
@@ -625,5 +643,21 @@ class ChunkedSemanticTracker(_ChunkRunnerBase):
                  pipeline_depth: int = 0, fetch_every: int | None = None,
                  loop=None, mapper=None):
         super().__init__(cfg, detector=detector, chunk=chunk,
+                         pipeline_depth=pipeline_depth,
+                         fetch_every=fetch_every, loop=loop, mapper=mapper)
+
+
+class ChunkedStereoTracker(_ChunkRunnerBase):
+    """Rectified-stereo chunked SLAM: process_chunk takes (lefts, rights)
+    [chunk, H, W] pairs; depth comes from the in-chunk epipolar SAD search
+    (the stereo Frame constructor on the real-time path)."""
+
+    semantic = False
+    stereo = True
+
+    def __init__(self, cfg: SlamConfig, chunk: int = 8,
+                 pipeline_depth: int = 0, fetch_every: int | None = None,
+                 loop=None, mapper=None):
+        super().__init__(cfg, detector=None, chunk=chunk,
                          pipeline_depth=pipeline_depth,
                          fetch_every=fetch_every, loop=loop, mapper=mapper)

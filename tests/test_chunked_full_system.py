@@ -192,3 +192,37 @@ def test_chunked_mapper_receives_keyframes():
     assert len(pts) > 500, "mapper never received drained keyframes"
     occ = mapper.occupancy_2d()
     assert (occ > 0).sum() > 20, "occupancy grid never populated"
+
+
+def test_chunked_stereo_tracking():
+    """Stereo on the real-time chunked path: rectified pairs in, RGB-D-
+    level ATE out (no depth image anywhere)."""
+    N = 26
+    chunk = 4
+    seq = synthetic.SyntheticSequence(CFG.camera, n_frames=N)
+    ct = scan_pipeline.ChunkedStereoTracker(CFG, chunk=chunk, fetch_every=2)
+    n_boot = 0
+    while ct._carry is None:
+        gl, gr, _ = seq.frame_stereo(n_boot)
+        ct.bootstrap(gl, gr)
+        n_boot += 1
+    i = n_boot
+    while i + chunk <= N:
+        pairs = [seq.frame_stereo(j) for j in range(i, i + chunk)]
+        ct.process_chunk(jnp.stack([p[0] for p in pairs]),
+                         jnp.stack([p[1] for p in pairs]))
+        i += chunk
+    ct.flush()
+    assert ct.n_kf >= 2
+    est = ct.poses_cw()
+    est_wc = np.stack([np.asarray(se3.se3_inverse(jnp.asarray(p)))
+                       for p in est])
+    gt_wc = np.stack([np.asarray(poses) for poses in
+                      [synthetic.make_trajectory(N)[j]
+                       for j in range(len(est))]])
+    from sgslam_tpu.eval.ate import ate_rmse
+    rmse, _, _ = ate_rmse(est_wc, gt_wc)
+    # SAD-searched stereo depth is noisier than sensor RGB-D depth, and
+    # the chunked map lags a chunk: allow ~1.3x the RGB-D gate
+    assert rmse < 0.10, f"chunked stereo ATE {rmse:.4f}"
+    assert min(ct.n_inliers_hist) > 30
