@@ -30,7 +30,7 @@ def run_config(cfg, detector, frames, chunk, depth, n_boot):
     from sgslam_tpu.slam import scan_pipeline
 
     ct = scan_pipeline.ChunkedSemanticTracker(cfg, detector, chunk=chunk,
-                                              pipeline_depth=depth)
+                                              fetch_every=depth + 1)
     for i in range(n_boot):
         ct.bootstrap(*frames[i])
     assert ct.inner.state == "OK"
@@ -94,12 +94,12 @@ def stage_timings(cfg, detector, frames, chunk):
     params = detector.params if detector is not None else None
     r = ct._fn(params, ct._map, ct._carry, g, d, pending)
     ct._map, ct._carry = r[0], r[1]
-    jax.block_until_ready(r)
+    jax.block_until_ready(r[2])
     t0 = time.perf_counter()
     for _ in range(10):
         r = ct._fn(params, ct._map, ct._carry, g, d, ct._empty_pending())
         ct._map, ct._carry = r[0], r[1]
-    jax.block_until_ready(r)
+    jax.block_until_ready(r[2])
     out["chunk_total_ms"] = (time.perf_counter() - t0) / 10 * 1000
     out["per_frame_ms"] = out["chunk_total_ms"] / chunk
     return out
