@@ -114,8 +114,9 @@ def _match_keyframes(cfg: SlamConfig, m: ms.MapState, kf_a, kf_b):
     return pa, pb, uva, uvb, ok
 
 
-@partial(jax.jit, static_argnums=(0,))
-def _widen_sim3(cfg: SlamConfig, m: ms.MapState, kf_cur, kf_loop, S_ab):
+@partial(jax.jit, static_argnums=(0,), static_argnames=("fix_scale",))
+def _widen_sim3(cfg: SlamConfig, m: ms.MapState, kf_cur, kf_loop, S_ab,
+                fix_scale: bool = True):
     """SearchBySim3 widening + Horn refine (LoopClosing.cc:323-391;
     ORBmatcher::SearchBySim3, ORBmatcher.cc:1106): transform the loop
     keyframe's depth-backed features into the current keyframe through the
@@ -152,7 +153,7 @@ def _widen_sim3(cfg: SlamConfig, m: ms.MapState, kf_cur, kf_loop, S_ab):
     uvb = m.kf_feat_xy[kf_loop]
 
     S_ref = sim3.horn_alignment(pb, pa, ok3.astype(jnp.float32),
-                                fix_scale=True)
+                                fix_scale=fix_scale)
     # two-way reprojection inlier count at the refined Sim3
     pb_in_a2 = se3.sim3_apply(S_ref[None], pb)
     e1 = jnp.sum((project(cam, pb_in_a2) - uva) ** 2, -1)
@@ -161,7 +162,7 @@ def _widen_sim3(cfg: SlamConfig, m: ms.MapState, kf_cur, kf_loop, S_ab):
     inl = ok3 & (e1 < 9.21) & (e2 < 9.21)
     n = jnp.sum(inl.astype(jnp.int32))
     S_final = sim3.horn_alignment(pb, pa, inl.astype(jnp.float32),
-                                  fix_scale=True)
+                                  fix_scale=fix_scale)
     return S_final, n
 
 
@@ -190,7 +191,12 @@ class LoopCloser:
     LoopClosing likewise lags tracking through its queue,
     LoopClosing.cc:57-88)."""
 
-    def __init__(self, cfg: SlamConfig, vocab=None, deferred: bool = False):
+    def __init__(self, cfg: SlamConfig, vocab=None, deferred: bool = False,
+                 fix_scale: bool = True):
+        # fix_scale=False: estimate the 7th (scale) dof in loop Sim3s —
+        # required for monocular maps whose scale drifts (the reference's
+        # bFixScale=false path through Sim3Solver/OptimizeSim3)
+        self.fix_scale = fix_scale
         self.cfg = cfg
         # default = the packaged trained vocabulary asset (ORBvoc.bin role)
         self.vocab = vocab if vocab is not None else vocab_mod.default_vocab()
@@ -329,14 +335,16 @@ class LoopCloser:
                 continue
             S_ab, inl, n = sim3.ransac_sim3(
                 cfg.camera, pa, pb, uva, uvb, ok,
-                jax.random.PRNGKey(kf_id), iters=128, fix_scale=True)
+                jax.random.PRNGKey(kf_id), iters=128,
+                fix_scale=self.fix_scale)
             if int(n) < cfg.loop.min_sim3_inliers:
                 continue
             # GN refinement with two-way reprojection edges + chi2 gating
             # (Optimizer::OptimizeSim3 between RANSAC and the widening,
             # LoopClosing.cc:326)
             S_ab, inl, n = sim3.optimize_sim3(
-                cfg.camera, S_ab, pa, pb, uva, uvb, ok, fix_scale=True)
+                cfg.camera, S_ab, pa, pb, uva, uvb, ok,
+                fix_scale=self.fix_scale)
             if int(n) < cfg.loop.min_sim3_inliers:
                 continue
             # SearchBySim3 widening + refine (LoopClosing.cc:323-391):
@@ -344,7 +352,8 @@ class LoopCloser:
             # then gate at the reference's stricter total-match threshold
             # (>= 40) — self-similar scenes produce 20-inlier false loops
             S_ab, n_total = _widen_sim3(cfg, m, jnp.asarray(kf_id),
-                                        jnp.asarray(hit), S_ab)
+                                        jnp.asarray(hit), S_ab,
+                                        fix_scale=self.fix_scale)
             if int(n_total) >= cfg.loop.min_total_matches:
                 return hit, S_ab
         return None, None
@@ -435,7 +444,7 @@ class LoopCloser:
 
         opt = pose_graph.optimize_pose_graph(
             sim_poses, jnp.asarray(valid), jnp.asarray(fixed),
-            ei, ej, meas, ew, iters=15, fix_scale=True)
+            ei, ej, meas, ew, iters=15, fix_scale=self.fix_scale)
         new_poses = opt[:, :7]
         new_poses = jax.vmap(
             lambda q, t: se3.se3_make(se3.quat_normalize(q), t))(

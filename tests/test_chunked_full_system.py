@@ -226,3 +226,54 @@ def test_chunked_stereo_tracking():
     # the chunked map lags a chunk: allow ~1.3x the RGB-D gate
     assert rmse < 0.10, f"chunked stereo ATE {rmse:.4f}"
     assert min(ct.n_inliers_hist) > 30
+
+
+@pytest.mark.slow
+def test_everything_on_dynamic_scene():
+    """Capstone: detector + dynamic rejection + loop-closer database +
+    semantic mapper + occupancy ALL live on the chunked path over a
+    dynamic prop scene — the subsystems must coexist without degrading
+    tracking (the reference's six threads running together,
+    System.cc:145-174)."""
+    from sgslam_tpu.mapping.semantic_mapper import SemanticMapper
+    from sgslam_tpu.models.detector import (Detector2D,
+                                            default_detector_params)
+
+    if default_detector_params() is None:
+        pytest.skip("detector asset not built")
+    N = 40
+    chunk = 4
+    seq = synthetic.SyntheticSequence(CFG.camera, n_frames=N, dynamic=True,
+                                     props=True)
+    det = Detector2D(CFG.detector)
+    mapper = SemanticMapper(CFG)
+    ct = scan_pipeline.ChunkedSemanticTracker(
+        CFG, det, chunk=chunk, fetch_every=2, loop=LoopCloser(CFG),
+        mapper=mapper)
+    n_boot = 0
+    while ct._carry is None:
+        ct.bootstrap(*seq.frame(n_boot))
+        n_boot += 1
+    _run_chunks(ct, seq, n_boot, N, chunk)
+    ct.flush()
+
+    est = ct.poses_cw()
+    est_wc = np.stack([np.asarray(se3.se3_inverse(jnp.asarray(p)))
+                       for p in est])
+    gt_wc = np.stack([np.asarray(seq.gt_pose_wc(i))
+                      for i in range(len(est))])
+    rmse, _, _ = ate.ate_rmse(est_wc, gt_wc)
+    # props add depth-discontinuity features (prop/wall edges) on top of
+    # the walking person: a harder scene than the prop-free dynamic gate
+    assert rmse < 0.13, f"all-subsystems dynamic ATE {rmse:.3f}"
+    # the person crossing the props occludes much of the 320x240 view on a
+    # few frames: transient inlier dips are fine, sustained health is not
+    med = sorted(ct.n_inliers_hist)[len(ct.n_inliers_hist) // 2]
+    assert med >= 30, f"median inliers {med}"
+    assert max(ct.n_inliers_hist[-chunk:]) >= 30, ct.n_inliers_hist[-chunk:]
+    assert ct.n_kf >= 3
+    # the semantic side actually ran: objects + occupancy populated
+    assert int(np.asarray(mapper.objects.valid).sum()) >= 1
+    assert (mapper.occupancy_2d() > 0).sum() > 20
+    # loop DB maintained for every keyframe (reloc-ready)
+    assert int(np.asarray(ct.loop.db_valid).sum()) >= ct.n_kf
