@@ -62,7 +62,7 @@ def _kf_update(vocab, m, bow_db, db_valid, kf_id):
     dbv = db_valid & m.kf_valid
     cov_row = ms.covisibility_rows(m, kf_id[None])[0]
     scores = vocab_mod.l1_score(bow, bow_db)
-    covisible = cov_row > 0
+    covisible = cov_row > 0          # connected KFs (weight >= 15)
     cov_scores = jnp.where(covisible & dbv, scores, jnp.inf)
     min_score = jnp.minimum(jnp.min(cov_scores), 1.0)
     eligible = (dbv & ~covisible
@@ -71,27 +71,26 @@ def _kf_update(vocab, m, bow_db, db_valid, kf_id):
     s = jnp.where(eligible & (scores >= jnp.where(jnp.isfinite(min_score),
                                                   min_score, 0.0)),
                   scores, -jnp.inf)
-    top_s, top_i = jax.lax.top_k(s, 3)
-    cov_top = ms.covisibility_rows(m, top_i) > 0     # [3,K] for streaks
+    # covisibility-group score accumulation
+    # (KeyFrameDatabase::DetectLoopCandidates, KeyFrameDatabase.cc:152-197):
+    # each candidate's group = itself + its connected KFs that also scored;
+    # only groups within 0.75x of the best accumulated score survive. A
+    # revisit spreads BoW evidence over several neighboring keyframes —
+    # per-KF top-k alone flickers, the group sum is stable.
+    pre_s, pre_i = jax.lax.top_k(s, 8)
+    pre_cov = ms.covisibility_rows(m, pre_i)         # [8, K]
+    s_pos = jnp.where(jnp.isfinite(s), s, 0.0)
+    acc = jnp.where(
+        jnp.isfinite(pre_s),
+        pre_s + jnp.sum(jnp.where(pre_cov > 0, s_pos[None, :], 0.0), axis=1),
+        -jnp.inf)
+    best_acc = jnp.max(acc)
+    acc = jnp.where(acc >= 0.75 * best_acc, acc, -jnp.inf)
+    top_a, sel = jax.lax.top_k(acc, 3)
+    top_i = pre_i[sel]
+    top_s = jnp.where(jnp.isfinite(top_a), pre_s[sel], -jnp.inf)
+    cov_top = pre_cov[sel] > 0                       # [3,K] for streaks
     return bow_db, db_valid, top_i, top_s, cov_top
-
-
-@jax.jit
-def _detect_candidates(bow_db, db_valid, query_bow, cov_row, query_id):
-    """Loop-candidate scores with the covisibility min-score gate."""
-    scores = vocab_mod.l1_score(query_bow, bow_db)
-    covisible = cov_row > 0
-    cov_scores = jnp.where(covisible & db_valid, scores, jnp.inf)
-    min_score = jnp.minimum(jnp.min(cov_scores), 1.0)
-    eligible = (db_valid & ~covisible
-                & (jnp.arange(bow_db.shape[0]) != query_id))
-    # temporal guard: never match the most recent keyframes
-    eligible = eligible & (jnp.arange(bow_db.shape[0]) < query_id - 5)
-    s = jnp.where(eligible & (scores >= jnp.where(jnp.isfinite(min_score),
-                                                  min_score, 0.0)),
-                  scores, -jnp.inf)
-    top_s, top_i = jax.lax.top_k(s, 3)
-    return top_i, top_s
 
 
 @partial(jax.jit, static_argnums=(0,))
@@ -210,6 +209,12 @@ class LoopCloser:
         self.last_correction = None
         self._consistency: dict[int, int] = {}  # candidate -> streak
         self.loops_closed: list[tuple[int, int]] = []
+        # persistent loop edges: every past closure's (cur, loop) pair is
+        # re-added to EVERY later essential-graph optimization (the
+        # reference keeps mspLoopEdges on keyframes and re-adds them,
+        # Optimizer.cc:852-880 sLoopEdges / LoopClosing.cc:546-564) — so a
+        # second loop closure cannot unwind the first correction
+        self.loop_edges: list[tuple[int, int]] = []
         # cooperative-cancel hook for the post-loop global BA (mbStopGBA
         # role, LoopClosing.cc:410-423): return True to preempt. The
         # runner installs a producer (e.g. "a keyframe is waiting"); an
@@ -238,6 +243,14 @@ class LoopCloser:
         km = np.asarray(kf_old_to_new)
         self._consistency = {int(km[k]): v for k, v in
                              self._consistency.items() if ov[k]}
+        # loop-edge endpoints follow the compaction; an edge whose endpoint
+        # was culled is dropped (the reference re-parents around dead KFs,
+        # KeyFrame.cc:454-520 — its loop partner constraint dies with it)
+        self.loop_edges = [(int(km[i]), int(km[j]))
+                           for i, j in self.loop_edges if ov[i] and ov[j]]
+        self.loops_closed = [(int(km[i]) if ov[i] else -1,
+                              int(km[j]) if ov[j] else -1)
+                             for i, j in self.loops_closed]
 
     def on_keyframe(self, m: ms.MapState, kf_id: int):
         """Update the database; returns a corrected map if a loop closes
@@ -314,6 +327,7 @@ class LoopCloser:
         # loop accepted: essential-graph optimization (the full
         # covisibility matrix is only materialized on this rare path)
         self.loops_closed.append((int(kf_id), int(hit)))
+        self.loop_edges.append((int(kf_id), int(hit)))
         self._consistency = {}
         old_pose = m.kf_pose[kf_id]
         corrected = self._correct(m, kf_id, hit, S_ab, ms.covisibility(m))
@@ -419,26 +433,55 @@ class LoopCloser:
         sim_poses = jnp.concatenate(
             [old_poses, jnp.ones((K, 1), old_poses.dtype)], axis=1)
 
-        # spanning tree: parent = previous keyframe id (insertion order —
-        # sequential KF slots make this the odometry chain)
-        parent = np.arange(K) - 1
-        parent[0] = -1
         nkf = int(np.asarray(m.next_kf))
-        parent[nkf:] = -1
+        kf_valid = np.asarray(m.kf_valid)
+        cov_np = np.asarray(cov)
 
-        # loop edge (i=cur, j=loop): residual r = log(meas * S_j * S_i^-1)
+        # covisibility spanning tree (KeyFrame parent semantics,
+        # KeyFrame.cc:454-520): parent = the EARLIER keyframe sharing the
+        # most observations; only when no covisible predecessor exists fall
+        # back to the nearest earlier valid slot (plain odometry chain) —
+        # slot order alone is structurally wrong after heavy culling
+        parent = np.full(K, -1, np.int64)
+        prev_valid = -1
+        for k in range(nkf):
+            if not kf_valid[k]:
+                continue
+            if prev_valid >= 0:
+                w = cov_np[k, :k].copy()
+                w[~kf_valid[:k]] = 0.0
+                best = int(np.argmax(w)) if w.size else 0
+                parent[k] = best if w.size and w[best] > 0 else prev_valid
+            prev_valid = k
+
+        # loop edges (i=cur, j=loop): residual r = log(meas * S_j * S_i^-1)
         # vanishes when meas = S_i * S_j^-1 = the verified relative Sim3
-        # (S_cur_loop maps loop-KF camera coords into cur-KF camera coords)
-        meas_ij = S_cur_loop
+        # (S_cur_loop maps loop-KF camera coords into cur-KF camera coords).
+        # EVERY past loop edge is re-added with its relative Sim3 measured
+        # from the CURRENT (already-corrected) poses, exactly the
+        # reference's sLoopEdges handling (Optimizer.cc:852-880) — only the
+        # new loop carries an external measurement.
+        li, lj, lmeas = [int(kf_cur)], [int(kf_loop)], [np.asarray(S_cur_loop)]
+        for (pi, pj) in self.loop_edges:
+            if (pi, pj) == (int(kf_cur), int(kf_loop)):
+                continue        # the new edge, already added with S_cur_loop
+            if pi < 0 or pj < 0 or not (kf_valid[pi] and kf_valid[pj]):
+                continue
+            Si = sim_poses[pi]
+            Sj = sim_poses[pj]
+            li.append(pi)
+            lj.append(pj)
+            lmeas.append(np.asarray(
+                se3.sim3_compose(Si, se3.sim3_inverse(Sj))))
+
         ei, ej, meas, ew = pose_graph.build_essential_edges(
-            np.asarray(cov), np.asarray(sim_poses), parent,
-            np.asarray([kf_cur]), np.asarray([kf_loop]),
-            [np.asarray(meas_ij)],
+            cov_np, np.asarray(sim_poses), parent,
+            np.asarray(li), np.asarray(lj), lmeas,
             min_covis_weight=100.0,
             max_edges=4 * K)
 
         valid = np.zeros(K, bool)
-        valid[:nkf] = True
+        valid[:nkf] = kf_valid[:nkf]
         fixed = np.zeros(K, bool)
         fixed[kf_loop] = True
 
@@ -468,6 +511,14 @@ class LoopCloser:
                 scale_factor=self.cfg.orb.scale_factor,
                 max_candidates=self.cfg.capacity.local_points),
             lambda mm: mm, m)
+
+        # covisibility-windowed local BA around the loop keyframe: after
+        # the closure, the covisible set spans both trajectory segments —
+        # the temporal window of the hot path would miss the far side
+        # (Optimizer.cc:456-504 builds the window from covisibility)
+        from . import tracking as trk
+
+        m = trk.local_ba_cov_step(self.cfg, m, jnp.asarray(kf_cur), cov)
 
         # full-map BA after the graph correction (the reference spawns
         # RunGlobalBundleAdjustment here, LoopClosing.cc:575-579);

@@ -163,6 +163,29 @@ def local_ba_step(cfg: SlamConfig, m: ms.MapState, center_kf):
 
 
 @partial(jax.jit, static_argnums=(0,))
+def local_ba_cov_step(cfg: SlamConfig, m: ms.MapState, center_kf, cov):
+    """Covisibility-ranked local BA around `center_kf`.
+
+    The loop-closure path's window (Optimizer.cc:456-504 builds the BA
+    window from covisible keyframes): after a closure joins two trajectory
+    segments, the covisible set spans BOTH sides of the loop — temporal
+    adjacency (ba_window_temporal) would miss the far side entirely. `cov`
+    is the dense covisibility matrix the loop path already materialized.
+    """
+    cap = cfg.capacity
+    ids, opt_mask = lm.ba_window(m, center_kf, cov,
+                                 window=cap.local_window,
+                                 n_fixed=cap.local_window // 2)
+    prob, pids = lm.build_ba_problem(cfg.camera, m, ids, opt_mask,
+                                     max_points=cap.local_points,
+                                     scale_factor=cfg.orb.scale_factor)
+    poses, points, inlier = local_ba.bundle_adjust(
+        cfg.camera, prob, iters1=cfg.tracker.local_ba_iters1,
+        iters2=cfg.tracker.local_ba_iters2)
+    return lm.writeback_ba(m, ids, opt_mask, poses, pids, points)
+
+
+@partial(jax.jit, static_argnums=(0,))
 def process_new_keyframe(cfg: SlamConfig, m: ms.MapState, kf_id):
     """The full per-keyframe back-end pass, fully on device.
 

@@ -1,0 +1,131 @@
+"""Multi-loop essential-graph fidelity: a second loop closure must NOT
+unwind the first correction.
+
+The reference keeps every past loop edge on its keyframes and re-adds them
+in every essential-graph optimization (/root/reference/src/sg-slam/src/
+Optimizer.cc:852-880 sLoopEdges; LoopClosing.cc:546-564 mspLoopEdges).
+Without that persistence, the second optimization sees only the newest loop
+measurement plus odometry edges and is free to bend the first closure's
+region back toward its drifted shape.
+
+Scenario: a camera walks 2.15 circuits of the closed room. Drift is
+injected before each revisit (lap 1 and lap 2), so each lap forces a loop
+closure. Gates: both loops fire, the persistent edge list carries the first
+edge into the second correction, and the final keyframe ATE does not
+regress versus the post-first-closure ATE.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from sgslam_tpu import config
+from sgslam_tpu.eval import ate
+from sgslam_tpu.geometry import se3
+from sgslam_tpu.io import synthetic
+from sgslam_tpu.slam import loop_closing
+from sgslam_tpu.slam.system import System
+
+CFG = config.synthetic_config(
+    width=320, height=240,
+    orb=config.OrbConfig(n_features=600, max_keypoints=640),
+    tracker=config.TrackerConfig(max_frames_between_kf=4,
+                                 depth_threshold_factor=70.0),
+    capacity=config.MapCapacity(max_keyframes=96, max_points=12288,
+                                local_window=4, local_points=1024),
+)
+N = 172                     # 2.15 circuits
+DRIFT1_AT = 70              # ~0.88 of lap 1
+DRIFT2_AT = 150             # ~1.88 of lap 2
+# larger than test_loop_e2e's drift: the seam must decisively break
+# re-association (a mild drift lets the windowed/brute-force search stitch
+# the seam back via covisibility, which correctly suppresses loop detection)
+DRIFT_XI = np.array([0.32, 0.0, 0.15, 0.0, 0.09, 0.0], np.float32)
+
+
+def _inject_drift(tracker, xi=DRIFT_XI):
+    """Warp keyframe poses + points by progressive world drift (same
+    mechanism as test_loop_e2e: locally consistent, globally bent)."""
+    m = tracker.map
+    K = m.max_kf
+    n_kf = int(m.next_kf)
+    frac = np.clip(np.arange(K, dtype=np.float32) / max(n_kf - 1, 1), 0, 1)
+    D = jax.vmap(se3.se3_exp)(jnp.asarray(frac[:, None] * xi[None, :]))
+    new_poses = jax.vmap(
+        lambda T, d: se3.se3_compose(T, se3.se3_inverse(d)))(m.kf_pose, D)
+    tracker.map = loop_closing._apply_correction(m, m.kf_pose, new_poses)
+    d_last = D[n_kf - 1]
+    tracker.Tcw = se3.se3_compose(jnp.asarray(tracker.Tcw),
+                                  se3.se3_inverse(d_last))
+    tracker.last_Tcw = se3.se3_compose(jnp.asarray(tracker.last_Tcw),
+                                       se3.se3_inverse(d_last))
+
+
+def _kf_ate(m, gt_poses_wc):
+    valid = np.asarray(m.kf_valid)
+    fids = np.asarray(m.kf_frame_id)[valid]
+    est_wc = np.stack([np.asarray(se3.se3_inverse(p))
+                       for p in np.asarray(m.kf_pose)[valid]])
+    gt_wc = np.stack([np.asarray(gt_poses_wc[f]) for f in fids])
+    rmse, _, _ = ate.ate_rmse(est_wc, gt_wc)
+    return rmse
+
+
+@pytest.fixture(scope="module")
+def two_loop_run():
+    poses = synthetic.make_circuit_trajectory(N, loops=2.15)
+    seq = synthetic.SyntheticSequence(CFG.camera, n_frames=N,
+                                      planes=synthetic.ROOM_CLOSED,
+                                      poses=poses)
+    s = System(CFG, enable_semantic=False, enable_mapping=False)
+
+    ate_after_first = None
+    n_loops_at_drift2 = None
+    for i in range(N):
+        if i == DRIFT1_AT:
+            _inject_drift(s.tracker)
+        if i == DRIFT2_AT:
+            assert len(s.loop.loops_closed) >= 1, (
+                "first loop must close before the second drift is injected")
+            n_loops_at_drift2 = len(s.loop.loops_closed)
+            ate_after_first = _kf_ate(s.tracker.map, poses)
+            _inject_drift(s.tracker)
+        g, d = seq.frame(i)
+        s.track_rgbd(g, d)
+    ate_final = _kf_ate(s.tracker.map, poses)
+    return s, n_loops_at_drift2, ate_after_first, ate_final
+
+
+def test_both_loops_fire(two_loop_run):
+    s, n_at_drift2, _, _ = two_loop_run
+    assert len(s.loop.loops_closed) > n_at_drift2, (
+        "second loop never closed")
+
+
+def test_first_edge_persists_into_second_correction(two_loop_run):
+    s, _, _, _ = two_loop_run
+    assert len(s.loop.loop_edges) >= 2, (
+        f"persistent loop-edge list should carry every closure: "
+        f"{s.loop.loop_edges}")
+    # all endpoints still valid keyframes
+    kf_valid = np.asarray(s.tracker.map.kf_valid)
+    for i, j in s.loop.loop_edges:
+        assert kf_valid[i] and kf_valid[j]
+
+
+def test_second_closure_does_not_regress_first(two_loop_run):
+    s, _, ate_after_first, ate_final = two_loop_run
+    # the second correction must leave the (already corrected) first-lap
+    # region intact: final ATE within 25% of the post-first-closure ATE
+    # (or better), never a blow-up back toward the drifted shape
+    assert ate_final < max(1.25 * ate_after_first, 0.05), (
+        f"second closure regressed the map: ATE {ate_after_first:.3f} -> "
+        f"{ate_final:.3f}")
+
+
+def test_map_finite_after_two_corrections(two_loop_run):
+    s, _, _, _ = two_loop_run
+    m = s.tracker.map
+    assert bool(jnp.all(jnp.isfinite(m.kf_pose)))
+    assert bool(jnp.all(jnp.isfinite(m.pt_pos)))
