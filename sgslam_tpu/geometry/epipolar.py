@@ -104,10 +104,24 @@ def eight_point(p1, p2):
     eps = 1e-9 * jnp.trace(M) + 1e-12
     chol = jax.scipy.linalg.cho_factor(
         M + eps * jnp.eye(9, dtype=M.dtype))
-    x = jnp.full((9,), 1.0 / 3.0, M.dtype)
+    # Inverse iteration from TWO deterministic starts (uniform + an
+    # alternating-sign vector): a single fixed start can be (near-)
+    # orthogonal to the true null vector for degenerate point
+    # configurations, and 3 iterations would then converge to the wrong
+    # eigenvector. The candidate with the smaller Rayleigh quotient wins,
+    # followed by one polish iteration.
+    X = jnp.stack(
+        [jnp.full((9,), 1.0 / 3.0, M.dtype),
+         jnp.array([1, -1, 1, -1, 1, -1, 1, -1, 1], M.dtype) / 3.0],
+        axis=1)                                        # [9,2]
     for _ in range(3):                                 # inverse iteration
-        x = jax.scipy.linalg.cho_solve(chol, x)
-        x = x / jnp.maximum(jnp.linalg.norm(x), 1e-30)
+        X = jax.scipy.linalg.cho_solve(chol, X)
+        X = X / jnp.maximum(jnp.linalg.norm(X, axis=0, keepdims=True),
+                            1e-30)
+    ray = jnp.einsum("ik,ij,jk->k", X, M, X)           # [2]
+    x = X[:, jnp.argmin(ray)]
+    x = jax.scipy.linalg.cho_solve(chol, x)
+    x = x / jnp.maximum(jnp.linalg.norm(x), 1e-30)
     F = x.reshape(3, 3)
     # rank-2 enforcement: closest rank-2 matrix in Frobenius norm
     v3 = _smallest_eigvec3(F.T @ F)

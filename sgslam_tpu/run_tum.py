@@ -163,14 +163,25 @@ def _run_chunked(args, cfg, seq, seq_dir: str, n: int):
 
         mapper = SemanticMapper(cfg)
 
+    for flag in ("viz", "serve"):
+        if getattr(args, flag):
+            print(f"warning: --{flag} is not supported in --chunked mode; "
+                  f"ignored", file=sys.stderr)
+
     cls = (scan_pipeline.ChunkedSemanticTracker if semantic
            else scan_pipeline.ChunkedTracker)
     kw = dict(chunk=args.chunk, fetch_every=args.fetch_every, loop=loop,
-              mapper=mapper)
+              mapper=mapper,
+              only_tracking=bool(args.load_map and args.localize_only))
     ct = (cls(cfg, detector, **kw) if semantic else cls(cfg, **kw))
+    if args.load_map:
+        ct.load_checkpoint(args.load_map)
+        print(f"restored map: {args.load_map} "
+              f"({ct.inner.n_kf} keyframes)", file=sys.stderr)
 
     t_start = time.perf_counter()
     t_steady = None
+    n_at_steady = 0
     buf_g, buf_d = [], []
     n_done = 0
     for i, gray, depth, rgb in seq.prefetch():
@@ -189,12 +200,19 @@ def _run_chunked(args, cfg, seq, seq_dir: str, n: int):
             buf_g, buf_d = [], []
             if t_steady is None:
                 t_steady = time.perf_counter()   # exclude compiles
+                n_at_steady = n_done
+    if buf_g:   # trailing partial chunk: tracked, not dropped
+        ct.process_tail(np.stack(buf_g), np.stack(buf_d))
+        n_done += len(buf_g)
     ct.flush()
     wall = time.perf_counter() - t_start
     steady = time.perf_counter() - (t_steady or t_start)
-    fps = (n_done - args.chunk) / steady if steady > 0 else 0.0
+    fps = (n_done - n_at_steady) / steady if steady > 0 else 0.0
 
     os.makedirs(args.out, exist_ok=True)
+    if args.save_map:
+        ct.save_checkpoint(args.save_map)
+        print(f"saved map: {args.save_map}", file=sys.stderr)
     poses = ct.poses_cw()
     ts = [float(seq.timestamps[i]) for i in range(len(poses))]
     traj_path = os.path.join(args.out, "CameraTrajectory.txt")
@@ -212,6 +230,7 @@ def _run_chunked(args, cfg, seq, seq_dir: str, n: int):
         if (ct.n_inliers_hist and ct.n_inliers_hist[-1]
             >= cfg.tracker.min_inliers_local_map) else "LOST",
         "keyframes": int(valid.sum()),
+        "lost_frames": int(ct.lost_mask().sum()),
         "loops_closed": ct.loops_closed, "relocalizations": ct.relocs,
         "objects": (int(np.asarray(mapper.objects.valid).sum())
                     if mapper is not None else None),

@@ -88,7 +88,7 @@ insert_and_maintain = partial(jax.jit, static_argnums=(0,),
 
 
 def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False,
-                     stereo: bool = False):
+                     stereo: bool = False, only_tracking: bool = False):
     """Build the jitted per-chunk program.
 
     Returns fn(det_params, m, carry, grays, depths, pending) ->
@@ -104,6 +104,9 @@ def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False,
     stereo=True interprets (grays, depths) as the rectified (left, right)
     image pair and fills depth by epipolar SAD search instead
     (extract_frame_stereo) — the stereo mode on the real-time path.
+    only_tracking=True freezes the map: no frame is ever flagged as a
+    keyframe, so the pending-apply branch never fires (localization-only
+    mode, System::ActivateLocalizationMode, System.cc:345-355).
     """
     t = cfg.tracker
     W, H = cfg.camera.width, cfg.camera.height
@@ -231,6 +234,8 @@ def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False,
             c2 = ((n_inl < ref.astype(jnp.float32) * t.kf_tracked_ratio)
                   | need_close)
             need_kf = ok & (c1 | (c2 & (n_inl > 15)))
+            if only_tracking:
+                need_kf = jnp.zeros_like(need_kf)
             vel = se3.se3_compose(Tcw, se3.se3_inverse(c[0]))
             out = (Tcw, n_inl, matched, need_kf)
             return (Tcw, vel, jnp.where(need_kf, 0, since),
@@ -311,7 +316,7 @@ class _ChunkRunnerBase:
 
     def __init__(self, cfg: SlamConfig, detector=None, chunk: int = 8,
                  pipeline_depth: int = 0, fetch_every: int | None = None,
-                 loop=None, mapper=None):
+                 loop=None, mapper=None, only_tracking: bool = False):
         self.cfg = cfg
         self.chunk = chunk
         self.fetch_every = (fetch_every if fetch_every is not None
@@ -319,6 +324,15 @@ class _ChunkRunnerBase:
         self.detector = detector
         self.loop = loop                  # LoopCloser | None
         self.mapper = mapper              # SemanticMapper | None
+        self.only_tracking = only_tracking
+        if self.stereo and mapper is not None:
+            # the stereo chunk program carries the RIGHT IMAGE where the
+            # RGB-D program carries metric depth; SemanticMapper would
+            # back-project intensity values as meters (silent garbage)
+            raise ValueError(
+                "stereo chunked tracking cannot drive the SemanticMapper: "
+                "keyframe events carry the right image, not a depth map — "
+                "run RGB-D, or map from an external depth source")
         if loop is not None:
             # GBA-abort producer (the mbStopGBA role): a queued keyframe
             # event preempts a running post-loop global BA; the remainder
@@ -328,11 +342,13 @@ class _ChunkRunnerBase:
             # overlaps device work (no per-KF tunnel round trip)
             loop.deferred = True
         self.inner = tracking.Tracker(cfg)
+        self.inner.only_tracking = only_tracking
         self._frontend = dyn_mod.SemanticFrontend(cfg)
         if loop is not None:
             self.inner.on_compaction = loop.remap_keyframes
         self._fn = make_track_chunk(cfg, detector, semantic=self.semantic,
-                                    stereo=self.stereo)
+                                    stereo=self.stereo,
+                                    only_tracking=only_tracking)
         self._carry = None
         self._pending_dev = None          # device pending tuple
         self._pending_proto = None
@@ -350,6 +366,10 @@ class _ChunkRunnerBase:
         self._traj_ref: list[int] = []
         self._traj_refpose: list[np.ndarray] = []
         self.n_inliers_hist: list[int] = []
+        # per-frame LOST flags aligned with `trajectory` (Tracking.h:93-99
+        # state semantics): a frame whose inlier count collapsed coasted on
+        # the motion model — exporters can mask the affected segment
+        self.frame_lost: list[bool] = []
 
     # -- bootstrap: per-frame path until the map initializes --
     def bootstrap(self, gray, depth):
@@ -374,9 +394,17 @@ class _ChunkRunnerBase:
         self._frontend.push(gray, feats_raw, dyn_b)
         self.inner.process(gray, None if self.stereo else depth,
                            feats=feats)
+        # localization-only resume: the restored map starts LOST; recover
+        # through the keyframe database (Tracking::Relocalization role)
+        if self.inner.state == "LOST" and self.loop is not None:
+            T, n = self.loop.relocalize(self.inner.map, feats)
+            if T is not None:
+                self.inner.force_pose(T)
+                self.relocs += 1
         self.trajectory.append(np.asarray(self.inner.Tcw))
         self._traj_ref.append(-1)
         self._traj_refpose.append(np.asarray(se3.se3_identity()))
+        self.frame_lost.append(self.inner.state == "LOST")
         if self.inner.kf_inserted and self.loop is not None:
             self.loop.on_keyframe(self.inner.map, self.inner.last_kf_id)
         if self.inner.state == "OK":
@@ -437,13 +465,16 @@ class _ChunkRunnerBase:
         self._inflight = []
         # ONE packed transfer for everything the host must look at
         packed_np = jax.device_get([r[0] for r in recs])
-        last_n_inl = None
+        window_lost = False
         for (packed, feats_last, kf_dyn, kf_obj, grays, depths), pk in zip(
                 recs, packed_np):
             c = pk.shape[0] - 1
             poses = pk[:c, :7]
             n_inl = pk[:c, 7].astype(int)
             need = pk[:c, 8] > 0.5
+            lost = n_inl < self.cfg.tracker.min_inliers_local_map
+            self.frame_lost.extend(lost.tolist())
+            window_lost = window_lost or bool(lost.any())
             next_kf = int(pk[c, 0])
             # the pending of an EARLIER chunk was applied at this chunk's
             # start: resolve its slot id and fire loop closing + mapping
@@ -464,7 +495,6 @@ class _ChunkRunnerBase:
                     pose=poses[i], gray=grays[i], depth=depths[i],
                     dyn_boxes=kf_dyn, obj_boxes=kf_obj))
             self._maybe_compact(next_kf, int(pk[c, 1]))
-            last_n_inl = n_inl
         if self._world_corrected:
             # a loop correction re-anchored the world mid-window: frames
             # of FUTURE chunks are tracked in the corrected world, so the
@@ -482,10 +512,13 @@ class _ChunkRunnerBase:
             m2 = self.loop.continue_gba(self._map)
             if m2 is not None:
                 self._map = m2
-        # tracking loss at the tail of the drained window -> relocalize
-        # (host-side fallback; Tracking::Relocalization role)
-        if (self.loop is not None and last_n_inl is not None
-                and last_n_inl[-1] < self.cfg.tracker.min_inliers_local_map):
+        # tracking loss ANYWHERE in the drained window -> relocalize
+        # (Tracking.h:93-99 LOST semantics: a mid-window collapse that
+        # coasts back above the gate left a corrupted-pose segment — the
+        # frames are flagged in `frame_lost` and the live pose re-anchors
+        # through the keyframe database; host fallback of
+        # Tracking::Relocalization)
+        if self.loop is not None and window_lost:
             self._try_relocalize(recs[-1][1])
 
     def _on_keyframe_inserted(self, kf_id: int, ev: _KfEvent):
@@ -551,6 +584,62 @@ class _ChunkRunnerBase:
                         self._map.kf_pose[self._ref_slot])
 
     flush_keyframes = flush
+
+    def process_tail(self, grays, depths):
+        """Process a trailing partial chunk (< chunk frames): pad with the
+        last frame to the static chunk length, run normally, then drop the
+        padded rows from every recorded per-frame output — the sequence
+        tail is tracked instead of silently discarded."""
+        k = int(grays.shape[0])
+        if k == 0:
+            return
+        pad = self.chunk - k
+        if pad > 0:
+            grays = jnp.concatenate(
+                [jnp.asarray(grays),
+                 jnp.repeat(jnp.asarray(grays)[-1:], pad, 0)])
+            depths = jnp.concatenate(
+                [jnp.asarray(depths),
+                 jnp.repeat(jnp.asarray(depths)[-1:], pad, 0)])
+        self.process_chunk(grays, depths)
+        self.flush()
+        if pad > 0:
+            for lst in (self.trajectory, self._traj_ref,
+                        self._traj_refpose, self.n_inliers_hist,
+                        self.frame_lost):
+                del lst[-pad:]
+
+    def lost_mask(self) -> np.ndarray:
+        """Per-frame LOST flags aligned with poses_cw()."""
+        return np.asarray(self.frame_lost, bool)
+
+    # -- map checkpoint / resume on the real-time path (System
+    #    save/load_checkpoint parity; the reference's TODO System.h:121-123)
+    def save_checkpoint(self, path: str):
+        from ..io import checkpoint as ckpt
+
+        self.flush()
+        extra = {}
+        if self.loop is not None:
+            extra["bow_db"] = np.asarray(self.loop.bow_db)
+            extra["db_valid"] = np.asarray(self.loop.db_valid)
+        ckpt.save_map(path, self.map, extra)
+
+    def load_checkpoint(self, path: str):
+        """Restore a saved map before tracking starts; the bootstrap
+        relocalizes against the restored keyframe database. Combine with
+        only_tracking=True for localization-only mode."""
+        from ..io import checkpoint as ckpt
+
+        assert self._carry is None, "load_checkpoint before any tracking"
+        m, extra = ckpt.load_map(path)
+        self.inner.map = m
+        self.inner.n_kf = int(np.asarray(m.kf_valid).sum())
+        self.inner.last_kf_id = int(np.asarray(m.next_kf)) - 1
+        self.inner.state = "LOST"
+        if self.loop is not None and "bow_db" in extra:
+            self.loop.bow_db = jnp.asarray(extra["bow_db"])
+            self.loop.db_valid = jnp.asarray(extra["db_valid"])
 
     def _maybe_compact(self, next_kf: int, next_pt: int):
         m = self._map
@@ -628,10 +717,11 @@ class ChunkedTracker(_ChunkRunnerBase):
 
     def __init__(self, cfg: SlamConfig, chunk: int = 8,
                  pipeline_depth: int = 0, fetch_every: int | None = None,
-                 loop=None, mapper=None):
+                 loop=None, mapper=None, **kw):
         super().__init__(cfg, detector=None, chunk=chunk,
                          pipeline_depth=pipeline_depth,
-                         fetch_every=fetch_every, loop=loop, mapper=mapper)
+                         fetch_every=fetch_every, loop=loop, mapper=mapper,
+                         **kw)
 
 
 class ChunkedSemanticTracker(_ChunkRunnerBase):
@@ -641,10 +731,11 @@ class ChunkedSemanticTracker(_ChunkRunnerBase):
 
     def __init__(self, cfg: SlamConfig, detector, chunk: int = 8,
                  pipeline_depth: int = 0, fetch_every: int | None = None,
-                 loop=None, mapper=None):
+                 loop=None, mapper=None, **kw):
         super().__init__(cfg, detector=detector, chunk=chunk,
                          pipeline_depth=pipeline_depth,
-                         fetch_every=fetch_every, loop=loop, mapper=mapper)
+                         fetch_every=fetch_every, loop=loop, mapper=mapper,
+                         **kw)
 
 
 class ChunkedStereoTracker(_ChunkRunnerBase):
@@ -657,7 +748,26 @@ class ChunkedStereoTracker(_ChunkRunnerBase):
 
     def __init__(self, cfg: SlamConfig, chunk: int = 8,
                  pipeline_depth: int = 0, fetch_every: int | None = None,
-                 loop=None, mapper=None):
+                 loop=None, mapper=None, **kw):
         super().__init__(cfg, detector=None, chunk=chunk,
                          pipeline_depth=pipeline_depth,
-                         fetch_every=fetch_every, loop=loop, mapper=mapper)
+                         fetch_every=fetch_every, loop=loop, mapper=mapper,
+                         **kw)
+
+
+class ChunkedSemanticStereoTracker(_ChunkRunnerBase):
+    """Semantic + stereo on the real-time path: the detector and the
+    dynamic-feature cull run on the LEFT image while depth comes from the
+    epipolar SAD search — the stereo analogue of the reference's
+    TrackStereo with the Detector2D hand-shake (System.cc:190-239)."""
+
+    semantic = True
+    stereo = True
+
+    def __init__(self, cfg: SlamConfig, detector, chunk: int = 8,
+                 pipeline_depth: int = 0, fetch_every: int | None = None,
+                 loop=None, mapper=None, **kw):
+        super().__init__(cfg, detector=detector, chunk=chunk,
+                         pipeline_depth=pipeline_depth,
+                         fetch_every=fetch_every, loop=loop, mapper=mapper,
+                         **kw)

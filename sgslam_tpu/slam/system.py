@@ -152,17 +152,45 @@ class System:
         return self.frontend.prev_feats
 
     # ------------------------------------------------------------------
-    def track_stereo(self, gray_l, gray_r) -> np.ndarray:
+    def track_stereo(self, gray_l, gray_r, rgb=None) -> np.ndarray:
         """Rectified stereo per-frame API (System::TrackStereo contract,
         System.cc:190-239): extraction on the left image + epipolar SAD
         depth from the right, then the identical tracking state machine.
-        Semantic stages and the loop closer apply unchanged."""
-        feats = tracking.extract_frame_stereo(
-            self.cfg, jnp.asarray(gray_l), jnp.asarray(gray_r))
-        self.timestamps.append(len(self.timestamps) / self.cfg.fps)
-        Tcw = self.tracker.process(jnp.asarray(gray_l), None, feats=feats)
+        The semantic dynamic-feature cull runs on the LEFT image (pass
+        `rgb` to drive the detector; oracle boxes via prev_dynamic_boxes
+        work as in track_rgbd). The loop closer applies unchanged; the
+        semantic MAPPER needs metric depth and stays RGB-D-only."""
+        cfg = self.cfg
+        gray_l = jnp.asarray(gray_l)
+        self.timestamps.append(len(self.timestamps) / cfg.fps)
+
+        if self.detector is not None and rgb is not None:
+            with self.metrics.timer("detector"):
+                (_, person_cull, person_map,
+                 objects2d) = self.detector.detect(
+                    jnp.asarray(rgb), cfg.camera.width, cfg.camera.height)
+            self.person_cull_boxes = person_cull
+            self.object_boxes = objects2d
+            dynamic_boxes = person_map
+        else:
+            dynamic_boxes = Boxes.empty(cfg.detector.max_boxes)
+
+        with self.metrics.timer("extract"):
+            feats = tracking.extract_frame_stereo(
+                self.cfg, gray_l, jnp.asarray(gray_r))
+        feats_raw = feats
+        if self.enable_semantic:
+            with self.metrics.timer("dynamic_cull"):
+                init_done = (self.tracker.state != "NOT_INITIALIZED"
+                             or self.detector is None)
+                feats = self.frontend.cull(gray_l, feats,
+                                           self.person_cull_boxes,
+                                           map_initialized=init_done)
+
+        Tcw = self.tracker.process(gray_l, None, feats=feats)
         self.last_feats = feats
         self._post_track()
+        self.frontend.push(gray_l, feats_raw, dynamic_boxes)
         return Tcw
 
     def track_monocular(self, gray) -> np.ndarray:
