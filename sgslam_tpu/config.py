@@ -60,10 +60,13 @@ class TrackerConfig:
     pose_opt_rounds_stage2: int = 3
     pose_opt_iters_stage2: int = 5
     # windowed local BA schedule (reference: 5 robust iters, outlier pass,
-    # 10 more — Optimizer.cc:648-709; GN with analytic Jacobians converges
-    # faster, and local BA re-runs every keyframe anyway)
-    local_ba_iters1: int = 4
-    local_ba_iters2: int = 8
+    # 10 more — Optimizer.cc:648-709). Our solver is adaptive LM whose
+    # rejected steps consume iterations, so the budget must exceed the
+    # reference's: 4+8 leaves the map under-converged and odometry picks
+    # up a measurable systematic bias (~0.1 deg/frame yaw on fast-rotation
+    # circuits, 5x the drift of this 6+14 schedule).
+    local_ba_iters1: int = 6
+    local_ba_iters2: int = 14
 
 
 @dataclasses.dataclass(frozen=True)
@@ -161,7 +164,10 @@ class LoopConfig:
     # run full-map BA after essential-graph correction, the contract of
     # LoopClosing::RunGlobalBundleAdjustment (LoopClosing.cc:575-579,645-749)
     run_global_ba: bool = True
-    global_ba_iters: int = 10              # GlobalBundleAdjustemnt(10) (LoopClosing.cc:650)
+    # the reference runs GlobalBundleAdjustemnt(10) of g2o LM; our adaptive
+    # LM needs a larger budget for the same convergence (rejected steps
+    # consume iterations), and the slice-resume machinery amortizes it
+    global_ba_iters: int = 30
 
 
 @dataclasses.dataclass(frozen=True)

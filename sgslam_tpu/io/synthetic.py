@@ -22,7 +22,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..geometry import se3
-from ..geometry.camera import Camera
+from ..geometry.camera import Camera, undistort_points
 
 
 def _cell_hash(ix, iy, seed):
@@ -41,6 +41,28 @@ def texture(x, y, seed: float = 0.0):
     v = v / (1.0 + 0.5 + 0.25)
     # contrast stretch: strong cell-edge steps -> rich FAST response
     return jnp.clip(1.8 * (v - 0.5) + 0.5, 0.0, 1.0)
+
+
+def _ray_grid(cam: Camera):
+    """Per-pixel unit-z ray directions in the camera frame.
+
+    With a distorted camera (TUM1-class radtan coefficients), pixel (u, v)
+    physically observes the ray of its UNDISTORTED normalized coordinates —
+    the renderer inverts the same model the tracker's undistort_points
+    applies at extraction (Frame::UndistortKeyPoints contract), so rendered
+    geometry and tracked geometry agree exactly.
+    """
+    H, W = cam.height, cam.width
+    uu = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)
+    vv = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, axis=1)
+    if cam.has_distortion():
+        uv = undistort_points(cam, jnp.stack([uu, vv], axis=-1))
+        dx = (uv[..., 0] - cam.cx) / cam.fx
+        dy = (uv[..., 1] - cam.cy) / cam.fy
+    else:
+        dx = (uu - cam.cx) / cam.fx
+        dy = (vv - cam.cy) / cam.fy
+    return jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)  # [H,W,3]
 
 
 @dataclasses.dataclass(frozen=True)
@@ -98,12 +120,7 @@ def render_frame(cam: Camera, T_wc, obj_center=None, obj_half: float = 0.35,
       gray [H,W] float32 in [0,1], depth [H,W] float32 meters (0 = invalid).
     """
     H, W = cam.height, cam.width
-    uu = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)
-    vv = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, axis=1)
-    # unit-z ray dirs in camera frame
-    dx = (uu - cam.cx) / cam.fx
-    dy = (vv - cam.cy) / cam.fy
-    d_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)  # [H,W,3]
+    d_cam = _ray_grid(cam)
 
     q_wc = T_wc[:4]
     o = T_wc[4:7]
@@ -185,24 +202,71 @@ def _composite_people(o, d_w, people, best_t, best_col):
 # Detector3D::Detect -> ObjectDatabase::addObject)
 # ---------------------------------------------------------------------------
 
-PROP_CHAIR = 9
-PROP_TV = 20
+PROP_BICYCLE = 2
 PROP_BOTTLE = 5
-PROP_CLASSES = (PROP_BOTTLE, PROP_CHAIR, PROP_TV)
+PROP_BUS = 6
+PROP_CAR = 7
+PROP_CHAIR = 9
+PROP_TABLE = 11
+PROP_PLANT = 16
+PROP_SOFA = 18
+PROP_TRAIN = 19
+PROP_TV = 20
+# 10 static VOC classes as procedurally textured props (the full
+# Detector2D class contract, Detector2D.cc:8-14; the remaining VOC entries
+# are the animal/person dynamic classes, covered by the person capsules)
+PROP_CLASSES = (PROP_BICYCLE, PROP_BOTTLE, PROP_BUS, PROP_CAR, PROP_CHAIR,
+                PROP_TABLE, PROP_PLANT, PROP_SOFA, PROP_TRAIN, PROP_TV)
 
 
 def prop_texture(px, py, cls, seed):
-    """Per-class texture, visually distinct from walls and person stripes:
-    chair = coarse grid, tvmonitor = bright frame + dark screen,
-    bottle = fine vertical stripes."""
-    grid = jnp.clip(0.25 + 0.6 * ((jnp.sin(14.0 * px + seed) > 0.3)
-                                  ^ (jnp.sin(14.0 * py + seed) > 0.3)),
-                    0.0, 1.0)
+    """Per-class texture in normalized in-prop coords px, py in [-1, 1] —
+    each of the 10 prop classes gets a visually distinctive procedural
+    pattern (distinct spatial frequency + orientation + structure), so a
+    small CNN can discriminate them the way SSDLite discriminates VOC
+    appearance."""
+    # chair: coarse checker grid
+    grid = 0.25 + 0.6 * ((jnp.sin(14.0 * px + seed) > 0.3)
+                         ^ (jnp.sin(14.0 * py + seed) > 0.3))
+    # tvmonitor: bright frame + dark faintly-patterned screen
     screen = jnp.where((jnp.abs(px) > 0.8) | (jnp.abs(py) > 0.8), 0.9,
                        0.12 + 0.1 * jnp.sin(30.0 * px * py + seed))
-    stripes = 0.2 + 0.65 * (jnp.sin(60.0 * px + 3.0 * seed) > 0.0)
-    t = jnp.where(cls == PROP_CHAIR, grid,
-                  jnp.where(cls == PROP_TV, screen, stripes))
+    # bottle: fine vertical stripes
+    stripes_v = 0.2 + 0.65 * (jnp.sin(60.0 * px + 3.0 * seed) > 0.0)
+    # sofa: wide horizontal bands + soft seam lines
+    sofa = (0.35 + 0.35 * (jnp.sin(4.5 * py + seed) > 0.0)
+            + 0.15 * (jnp.sin(22.0 * py) > 0.9))
+    # pottedplant: dense irregular speckle (leafy high-frequency hash)
+    sp = jnp.sin(37.0 * px + seed) * jnp.sin(41.0 * py + 2.0 * seed) \
+        + jnp.sin(53.0 * (px + py))
+    plant = 0.15 + 0.6 * (sp > 0.4)
+    # diningtable: diagonal stripes (45 degrees, medium frequency)
+    table = 0.25 + 0.55 * (jnp.sin(18.0 * (px + py) + seed) > 0.0)
+    # car: dark lower body + bright window band + wheel-dark corners
+    wheels = (((px - 0.6) ** 2 + (py - 0.75) ** 2 < 0.06)
+              | ((px + 0.6) ** 2 + (py - 0.75) ** 2 < 0.06))
+    car = jnp.where(wheels, 0.05,
+                    jnp.where(py < -0.1, 0.85 + 0.1 * jnp.sin(9.0 * px),
+                              0.3))
+    # bicycle: thin diagonal crosshatch (both orientations)
+    bike = 0.2 + 0.65 * ((jnp.sin(34.0 * (px + py) + seed) > 0.85)
+                         | (jnp.sin(34.0 * (px - py) + seed) > 0.85))
+    # bus: bright body with a row of dark window squares up top
+    win = ((jnp.sin(16.0 * px) > 0.2) & (py > -0.6) & (py < -0.1))
+    bus = jnp.where(win, 0.12, 0.8 + 0.08 * jnp.sin(5.0 * py + seed))
+    # train: long horizontal stripe pairs + repeated door slots
+    door = (jnp.sin(9.0 * px + seed) > 0.93)
+    train = jnp.where(door, 0.1,
+                      0.3 + 0.5 * (jnp.sin(11.0 * py + seed) > 0.4))
+
+    t = jnp.select(
+        [cls == PROP_CHAIR, cls == PROP_TV, cls == PROP_BOTTLE,
+         cls == PROP_SOFA, cls == PROP_PLANT, cls == PROP_TABLE,
+         cls == PROP_CAR, cls == PROP_BICYCLE, cls == PROP_BUS,
+         cls == PROP_TRAIN],
+        [grid, screen, stripes_v, sofa, plant, table, car, bike, bus,
+         train],
+        default=stripes_v)
     return jnp.clip(t, 0.0, 1.0)
 
 
@@ -264,12 +328,7 @@ def render_frame_people(cam: Camera, T_wc, people, planes=ROOM):
     (cx, cy, cz, half_h, tex_seed); half_h <= 0 disables). Returns
     (gray, depth) like render_frame — the detector-training renderer."""
     gray, depth = render_frame(cam, T_wc, None, planes=planes)
-    H, W = cam.height, cam.width
-    uu = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)
-    vv = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, axis=1)
-    dx = (uu - cam.cx) / cam.fx
-    dy = (vv - cam.cy) / cam.fy
-    d_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)
+    d_cam = _ray_grid(cam)
     q_wc = T_wc[:4]
     o = T_wc[4:7]
     d_w = se3.quat_rotate(q_wc[None, None, :], d_cam)
@@ -284,12 +343,7 @@ def render_frame_scene(cam: Camera, T_wc, people, props, planes=ROOM):
     """Full scene renderer: room planes + person capsules [P,5] + prop
     rectangles [Q,7]. Either may be a zero-row array."""
     gray, depth = render_frame(cam, T_wc, None, planes=planes)
-    H, W = cam.height, cam.width
-    uu = jnp.arange(W, dtype=jnp.float32)[None, :].repeat(H, axis=0)
-    vv = jnp.arange(H, dtype=jnp.float32)[:, None].repeat(W, axis=1)
-    dx = (uu - cam.cx) / cam.fx
-    dy = (vv - cam.cy) / cam.fy
-    d_cam = jnp.stack([dx, dy, jnp.ones_like(dx)], axis=-1)
+    d_cam = _ray_grid(cam)
     q_wc = T_wc[:4]
     o = T_wc[4:7]
     d_w = se3.quat_rotate(q_wc[None, None, :], d_cam)
@@ -349,6 +403,55 @@ def object_track(n_frames: int, dtype=jnp.float32):
     return jnp.stack([cx, cy, cz], axis=-1)
 
 
+def walker_tracks(n_frames: int, n_walkers: int = 3, depth0: float = 1.8,
+                  half_h: float = 0.55, dtype=jnp.float32):
+    """World paths of several INDEPENDENT walkers, [N, P, 5] people rows
+    (cx, cy, cz, half_h, tex_seed).
+
+    The fr3/walking_* analogue: each walker strafes on its own phase,
+    speed, and depth band, with a slight depth oscillation, so at most
+    frames one or more large feature-rich movers cross the view — the
+    aggregate occludes a large image fraction (measured by
+    `person_coverage`)."""
+    s = jnp.linspace(0.0, 1.0, n_frames, dtype=dtype)
+    rows = []
+    for p in range(n_walkers):
+        speed = 1.2 + 0.5 * p
+        phase = 2.4 * p
+        cx = (0.55 + 0.35 * (p % 2)) * jnp.sin(
+            2 * jnp.pi * s * speed + phase)
+        cy = 0.15 + 0.05 * jnp.sin(2 * jnp.pi * s * 0.7 + p)
+        cz = (depth0 + 0.5 * p) + 0.25 * jnp.sin(
+            2 * jnp.pi * s * 0.9 + 1.3 * p)
+        rows.append(jnp.stack(
+            [cx, cy, cz, jnp.full_like(s, half_h * 1.3),
+             jnp.full_like(s, 9.0 + 4.0 * p)], axis=-1))
+    return jnp.stack(rows, axis=1)                   # [N, P, 5]
+
+
+def make_walk_trajectory(n_frames: int, yaw_amp: float = 0.35,
+                         dtype=jnp.float32):
+    """Sinusoidal walk with FAST ROTATION: peak yaw rate ~2 deg/frame at
+    30 FPS (fr3-class hand-held motion), on top of the translation sweep
+    of make_trajectory."""
+    s = jnp.linspace(0.0, 1.0, n_frames, dtype=dtype)
+    tx = 0.6 * jnp.sin(2 * jnp.pi * s)
+    ty = 0.15 * jnp.sin(4 * jnp.pi * s + 1.0)
+    tz = 0.3 * jnp.sin(2 * jnp.pi * s + 0.5)
+    wy = yaw_amp * jnp.sin(3 * jnp.pi * s)
+    wx = 0.08 * jnp.sin(4 * jnp.pi * s + 0.3)
+    xi = jnp.stack([tx, ty, tz, wx, wy, jnp.zeros_like(s)], axis=-1)
+    return jax.vmap(se3.se3_exp)(xi)
+
+
+def person_coverage(cam: Camera, T_wc, people, planes=ROOM) -> float:
+    """Fraction of the image covered by person capsules at one frame
+    (renderer-exact: compares scene depth with and without people)."""
+    g0, d0 = render_frame(cam, T_wc, planes=planes)
+    _, d1 = render_frame_people(cam, T_wc, people, planes=planes)
+    return float(jnp.mean((jnp.abs(d1 - d0) > 1e-4).astype(jnp.float32)))
+
+
 def make_circuit_trajectory(n_frames: int, radius: float = 1.0,
                             loops: float = 1.0, dtype=jnp.float32):
     """Closed-circuit camera path inside ROOM_CLOSED: the camera walks a
@@ -376,7 +479,7 @@ class SyntheticSequence:
     """Host-side iterator mimicking a dataset: (gray, depth, gt_T_wc)."""
 
     def __init__(self, cam: Camera, n_frames: int = 60, dynamic: bool = False,
-                 planes=ROOM, poses=None, props=None):
+                 planes=ROOM, poses=None, props=None, people=None):
         self.cam = cam
         self.n_frames = n_frames
         self.dynamic = dynamic
@@ -384,6 +487,9 @@ class SyntheticSequence:
         # T_wc (camera-to-world) per frame
         self.poses = poses if poses is not None else make_trajectory(n_frames)
         self.obj = object_track(n_frames) if dynamic else None
+        # explicit multi-walker tracks [N, P, 5] (walker_tracks) override
+        # the single `dynamic` person
+        self.people = jnp.asarray(people) if people is not None else None
         # static semantic props: True -> DEFAULT_PROPS, or an explicit
         # [Q,7] array of (cx, cy, cz, half_w, half_h, cls, seed) rows
         self.props = (jnp.asarray(DEFAULT_PROPS) if props is True
@@ -395,6 +501,12 @@ class SyntheticSequence:
         return self.n_frames
 
     def frame(self, i: int):
+        if self.people is not None:
+            props = (self.props if self.props is not None
+                     else jnp.zeros((0, 7), jnp.float32))
+            return render_frame_scene(self.cam, self.poses[i],
+                                      self.people[i], props,
+                                      planes=self.planes)
         if self.props is not None:
             if self.dynamic:
                 c = self.obj[i]

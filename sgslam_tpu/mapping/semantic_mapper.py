@@ -117,3 +117,12 @@ class SemanticMapper:
 
     def occupancy_2d(self):
         return np.asarray(occupancy.project_2d(self.grid))
+
+    def save_octomap(self, path: str):
+        """Octomap-compatible .bt export of the occupancy grid (the
+        octomap_server capability, OctomapServer.h:96-205); readable by
+        octovis / the octomap library. Returns the world translation of
+        the file's coordinate frame (the .bt container stores none)."""
+        from . import octomap_io
+
+        return octomap_io.write_bt(path, self.grid)

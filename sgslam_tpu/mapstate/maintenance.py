@@ -42,35 +42,43 @@ def cull_map_points(m: MapState) -> MapState:
     return dataclasses.replace(m, pt_valid=keep)
 
 
-@jax.jit
-def cull_keyframes(m: MapState, protect_last: int = 2) -> MapState:
-    """KeyFrameCulling contract: a keyframe is redundant if >= 90% of its
-    observed points are seen by >= 3 other keyframes."""
-    obs = m.kf_obs_point
-    has = obs >= 0
-    obs_count = jnp.zeros(m.max_pt + 1, jnp.int32).at[
-        jnp.where(has, obs, m.max_pt).reshape(-1)
-    ].add(has.reshape(-1).astype(jnp.int32))[:m.max_pt]
+@partial(jax.jit, static_argnames=("max_culls",))
+def cull_keyframes(m: MapState, protect_last: int = 2,
+                   max_culls: int = 3) -> MapState:
+    """KeyFrameCulling contract (LocalMapping.cc:632-696): a keyframe is
+    redundant if >= 90% of its observed points are seen by >= 3 other
+    keyframes. Greedy sweep: up to `max_culls` keyframes per call, with
+    observation counts RECOMPUTED after each cull (exactly the reference's
+    erase-as-you-iterate semantics — culling two mutually-redundant
+    keyframes in one masked pass could strand their shared points)."""
 
-    cnt = obs_count[jnp.where(has, obs, 0)]          # [K,N]
-    redundant_obs = has & (cnt >= 4)                 # >=3 others + itself
-    n_obs = jnp.sum(has, axis=1)
-    n_red = jnp.sum(redundant_obs, axis=1)
-    redundant = (n_red.astype(jnp.float32)
-                 >= 0.9 * jnp.maximum(n_obs.astype(jnp.float32), 1.0))
-    # never cull KF 0 or the newest `protect_last`
-    ids = jnp.arange(m.max_kf)
-    protected = (ids == 0) | (ids >= m.next_kf - protect_last)
-    keep = m.kf_valid & (~redundant | protected)
-    # cull at most one KF per call (reference culls greedily per pass)
-    first_cull = jnp.argmax(m.kf_valid & ~keep & ~protected)
-    do_cull = jnp.any(m.kf_valid & ~keep & ~protected)
-    kf_valid = m.kf_valid.at[first_cull].set(
-        jnp.where(do_cull, False, m.kf_valid[first_cull]))
-    # clear the culled KF's observations
-    obs_new = jnp.where((ids[:, None] == first_cull) & do_cull, NO_POINT,
-                        m.kf_obs_point)
-    return dataclasses.replace(m, kf_valid=kf_valid, kf_obs_point=obs_new)
+    def one_cull(_, m):
+        obs = m.kf_obs_point
+        has = obs >= 0
+        obs_count = jnp.zeros(m.max_pt + 1, jnp.int32).at[
+            jnp.where(has, obs, m.max_pt).reshape(-1)
+        ].add(has.reshape(-1).astype(jnp.int32))[:m.max_pt]
+
+        cnt = obs_count[jnp.where(has, obs, 0)]          # [K,N]
+        redundant_obs = has & (cnt >= 4)                 # >=3 others + self
+        n_obs = jnp.sum(has, axis=1)
+        n_red = jnp.sum(redundant_obs, axis=1)
+        redundant = (n_red.astype(jnp.float32)
+                     >= 0.9 * jnp.maximum(n_obs.astype(jnp.float32), 1.0))
+        # never cull KF 0 or the newest `protect_last`
+        ids = jnp.arange(m.max_kf)
+        protected = (ids == 0) | (ids >= m.next_kf - protect_last)
+        cullable = m.kf_valid & redundant & ~protected
+        first_cull = jnp.argmax(cullable)
+        do_cull = jnp.any(cullable)
+        kf_valid = m.kf_valid.at[first_cull].set(
+            jnp.where(do_cull, False, m.kf_valid[first_cull]))
+        obs_new = jnp.where((ids[:, None] == first_cull) & do_cull,
+                            NO_POINT, m.kf_obs_point)
+        return dataclasses.replace(m, kf_valid=kf_valid,
+                                   kf_obs_point=obs_new)
+
+    return jax.lax.fori_loop(0, max_culls, one_cull, m)
 
 
 @jax.jit
@@ -81,10 +89,12 @@ def prev_valid_kf(m: MapState, kf_id):
     return jnp.max(prio)
 
 
-@partial(jax.jit, static_argnums=(0,), static_argnames=("max_candidates",))
+@partial(jax.jit, static_argnums=(0,),
+         static_argnames=("max_candidates", "radius"))
 def fuse_duplicates(cam: Camera, m: MapState, kf_id,
                     scale_factor: float = 1.2,
-                    max_candidates: int = 4096) -> MapState:
+                    max_candidates: int = 4096,
+                    radius: float = 3.0) -> MapState:
     """Fuse contract (ORBmatcher::Fuse, ORBmatcher.cc:829 via
     LocalMapping::SearchInNeighbors, LocalMapping.cc:454-534): project map
     points into KF `kf_id`; when a projected point matches a feature already
@@ -109,7 +119,7 @@ def fuse_duplicates(cam: Camera, m: MapState, kf_id,
     # windowed descriptor match candidate point -> feature of this KF
     L = max_candidates
     idx, okm, dist = search.search_by_projection(
-        uv, jnp.full(L, 3.0), jnp.zeros(L, jnp.int32),
+        uv, jnp.full(L, radius), jnp.zeros(L, jnp.int32),
         m.pt_desc[cand], cand_ok,
         m.kf_feat_xy[kf_id], m.kf_feat_level[kf_id],
         m.kf_feat_desc[kf_id], m.kf_feat_valid[kf_id],

@@ -38,11 +38,19 @@ PERSON_CLASS = 15
 # Scene sampling (pure function of a PRNG key -> image + GT boxes)
 # ---------------------------------------------------------------------------
 
-MAX_PROPS = 3
-# size priors (half_w range, half_h range) per prop class
+MAX_PROPS = 4
+# size priors (half_w range, half_h range) per prop class — rough VOC
+# object-scale priors in meters for all 10 static prop classes
 _PROP_PRIORS = {
+    synthetic.PROP_BICYCLE: ((0.35, 0.55), (0.25, 0.40)),
     synthetic.PROP_BOTTLE: ((0.05, 0.10), (0.14, 0.30)),
+    synthetic.PROP_BUS: ((0.60, 0.90), (0.35, 0.55)),
+    synthetic.PROP_CAR: ((0.50, 0.80), (0.25, 0.40)),
     synthetic.PROP_CHAIR: ((0.22, 0.45), (0.28, 0.50)),
+    synthetic.PROP_TABLE: ((0.50, 0.80), (0.20, 0.35)),
+    synthetic.PROP_PLANT: ((0.10, 0.22), (0.15, 0.35)),
+    synthetic.PROP_SOFA: ((0.50, 0.90), (0.30, 0.45)),
+    synthetic.PROP_TRAIN: ((0.70, 1.00), (0.30, 0.45)),
     synthetic.PROP_TV: ((0.28, 0.50), (0.18, 0.35)),
 }
 
@@ -70,7 +78,7 @@ def _sample_props(key):
         hi_h = jnp.where(sel, hh_, hi_h)
     hw = lo_w + (hi_w - lo_w) * r[:, 0]
     hh = lo_h + (hi_h - lo_h) * r[:, 1]
-    active = r[:, 2] < jnp.array([0.75, 0.5, 0.3])
+    active = r[:, 2] < jnp.array([0.8, 0.6, 0.45, 0.3])
     hh = jnp.where(active, hh, -1.0)
     seed = 60.0 * r[:, 3]
     return jnp.stack([cx, cy, z, hw, hh, cls, seed], axis=-1)

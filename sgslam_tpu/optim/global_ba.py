@@ -30,16 +30,22 @@ from . import local_ba
 
 @partial(jax.jit, static_argnums=(0,), static_argnames=("iters",))
 def global_ba_step(cfg: SlamConfig, m: ms.MapState, *,
-                   iters: int = 10) -> ms.MapState:
+                   iters: int = 10, fixed_extra=None) -> ms.MapState:
     """One global-BA pass over the whole map, fully on device.
 
     Gauge fix: keyframe 0 (the reference fixes the first KF via
-    vSE3->setFixed(pKF->mnId==0), Optimizer.cc:100).
+    vSE3->setFixed(pKF->mnId==0), Optimizer.cc:100). `fixed_extra` [K]
+    bool pins additional keyframes — the post-loop GBA pins the verified
+    loop pair so that on maps whose cross-loop observations are sparse
+    the solver cannot slide the closure back toward the drifted
+    odometry-consistent optimum.
     """
     K = m.max_kf
     kf_ids = jnp.arange(K, dtype=jnp.int32)
     kf_ids = jnp.where(m.kf_valid, kf_ids, -1)
     opt_mask = m.kf_valid & (jnp.arange(K) != 0)
+    if fixed_extra is not None:
+        opt_mask = opt_mask & ~fixed_extra
 
     prob, pids = lm.build_ba_problem(
         cfg.camera, m, kf_ids, opt_mask,
@@ -52,7 +58,7 @@ def global_ba_step(cfg: SlamConfig, m: ms.MapState, *,
 
 def global_ba_interruptible(cfg: SlamConfig, m: ms.MapState, *,
                             iters: int = 10, slice_iters: int = 2,
-                            should_abort=None):
+                            should_abort=None, fixed_extra=None):
     """Cooperatively cancellable global BA.
 
     The reference's GBA checks a stop flag between g2o iterations
@@ -68,7 +74,7 @@ def global_ba_interruptible(cfg: SlamConfig, m: ms.MapState, *,
     done = 0
     while done < iters:
         n = min(slice_iters, iters - done)
-        m = global_ba_step(cfg, m, iters=n)
+        m = global_ba_step(cfg, m, iters=n, fixed_extra=fixed_extra)
         done += n
         if should_abort is not None and done < iters and should_abort():
             break

@@ -208,10 +208,18 @@ class SemanticFrontend:
         if not map_initialized:
             # initialization frames have no flow geometry yet: cull purely
             # by the person boxes so the FIRST keyframe's map contains no
-            # moving points
+            # moving points. The 10% survivor floor (Frame.cc:599-604)
+            # applies here too: a false-positive box covering the frame
+            # must not block initialization forever.
             inside = in_any_box(feats.xy_raw, person_cull_boxes,
                                 jnp.ones_like(person_cull_boxes.valid))
-            feats = apply_keep_mask(feats, ~inside)
+            keep0 = feats.valid & ~inside
+            n_total = jnp.sum(feats.valid.astype(jnp.int32))
+            floor = (cfg.dynamic.min_survivor_ratio
+                     * n_total.astype(jnp.float32))
+            too_aggressive = jnp.sum(keep0.astype(jnp.int32)) < floor
+            feats = apply_keep_mask(
+                feats, jnp.where(too_aggressive, feats.valid, keep0))
         if self.prev_feats is None:
             return feats
         self._key, sub = jax.random.split(self._key)

@@ -209,12 +209,16 @@ class LoopCloser:
         self.last_correction = None
         self._consistency: dict[int, int] = {}  # candidate -> streak
         self.loops_closed: list[tuple[int, int]] = []
-        # persistent loop edges: every past closure's (cur, loop) pair is
-        # re-added to EVERY later essential-graph optimization (the
-        # reference keeps mspLoopEdges on keyframes and re-adds them,
+        # persistent loop edges: every past closure's (cur, loop, Sim3)
+        # triple is re-added to EVERY later essential-graph optimization
+        # (the reference keeps mspLoopEdges on keyframes and re-adds them,
         # Optimizer.cc:852-880 sLoopEdges / LoopClosing.cc:546-564) — so a
-        # second loop closure cannot unwind the first correction
-        self.loop_edges: list[tuple[int, int]] = []
+        # second loop closure cannot unwind the first. The measurement is
+        # the relative Sim3 AS ESTABLISHED at closure (stored), not
+        # re-derived from current poses: a later corruption of the poses
+        # must be pulled back toward the verified constraint, not baked
+        # into it.
+        self.loop_edges: list[tuple[int, int, np.ndarray]] = []
         # cooperative-cancel hook for the post-loop global BA (mbStopGBA
         # role, LoopClosing.cc:410-423): return True to preempt. The
         # runner installs a producer (e.g. "a keyframe is waiting"); an
@@ -223,6 +227,7 @@ class LoopCloser:
         self.should_abort_gba = None
         self.last_gba_iters = 0
         self.gba_remaining = 0
+        self._gba_fixed = None    # loop-pair pin for the post-loop GBA
 
     def remap_keyframes(self, kf_old_to_new, old_valid):
         """Follow a map compaction: permute the BoW database rows and the
@@ -230,6 +235,7 @@ class LoopCloser:
         # a deferred detection holds a pre-compaction slot id; the runner
         # resolves via flush() before compacting, but drop defensively
         self._deferred_det = None
+        self._gba_fixed = None    # pin slots are pre-compaction ids
         K = self.bow_db.shape[0]
         old_valid = jnp.asarray(old_valid)
         dst = jnp.where(old_valid, jnp.asarray(kf_old_to_new), K)
@@ -246,8 +252,9 @@ class LoopCloser:
         # loop-edge endpoints follow the compaction; an edge whose endpoint
         # was culled is dropped (the reference re-parents around dead KFs,
         # KeyFrame.cc:454-520 — its loop partner constraint dies with it)
-        self.loop_edges = [(int(km[i]), int(km[j]))
-                           for i, j in self.loop_edges if ov[i] and ov[j]]
+        self.loop_edges = [(int(km[i]), int(km[j]), s)
+                           for i, j, s in self.loop_edges
+                           if ov[i] and ov[j]]
         self.loops_closed = [(int(km[i]) if ov[i] else -1,
                               int(km[j]) if ov[j] else -1)
                              for i, j in self.loops_closed]
@@ -327,12 +334,20 @@ class LoopCloser:
         # loop accepted: essential-graph optimization (the full
         # covisibility matrix is only materialized on this rare path)
         self.loops_closed.append((int(kf_id), int(hit)))
-        self.loop_edges.append((int(kf_id), int(hit)))
         self._consistency = {}
-        old_pose = m.kf_pose[kf_id]
+        # full pre/post pose tables: the essential graph corrects every
+        # keyframe DIFFERENTLY (drift is distributed), so a consumer
+        # re-anchoring live state must use the correction of ITS OWN
+        # reference keyframe, not the loop keyframe's
+        old_poses = m.kf_pose
         corrected = self._correct(m, kf_id, hit, S_ab, ms.covisibility(m))
-        self.last_correction = (kf_id, old_pose,
-                                corrected.kf_pose[kf_id])
+        self.last_correction = (kf_id, old_poses, corrected.kf_pose)
+        # persist the loop constraint AS ESTABLISHED by this correction
+        one = jnp.ones((1,), corrected.kf_pose.dtype)
+        Si = jnp.concatenate([corrected.kf_pose[kf_id], one])
+        Sj = jnp.concatenate([corrected.kf_pose[hit], one])
+        self.loop_edges.append((int(kf_id), int(hit), np.asarray(
+            se3.sim3_compose(Si, se3.sim3_inverse(Sj)))))
         return corrected
 
     def _verify_candidates(self, m: ms.MapState, kf_id: int,
@@ -457,22 +472,17 @@ class LoopCloser:
         # loop edges (i=cur, j=loop): residual r = log(meas * S_j * S_i^-1)
         # vanishes when meas = S_i * S_j^-1 = the verified relative Sim3
         # (S_cur_loop maps loop-KF camera coords into cur-KF camera coords).
-        # EVERY past loop edge is re-added with its relative Sim3 measured
-        # from the CURRENT (already-corrected) poses, exactly the
-        # reference's sLoopEdges handling (Optimizer.cc:852-880) — only the
-        # new loop carries an external measurement.
+        # EVERY past loop edge is re-added with its STORED verified
+        # measurement (sLoopEdges semantics, Optimizer.cc:852-880) — the
+        # stored constraint pulls a later corruption back toward the
+        # established closure instead of baking the corruption in.
         li, lj, lmeas = [int(kf_cur)], [int(kf_loop)], [np.asarray(S_cur_loop)]
-        for (pi, pj) in self.loop_edges:
-            if (pi, pj) == (int(kf_cur), int(kf_loop)):
-                continue        # the new edge, already added with S_cur_loop
+        for (pi, pj, pmeas) in self.loop_edges:
             if pi < 0 or pj < 0 or not (kf_valid[pi] and kf_valid[pj]):
                 continue
-            Si = sim_poses[pi]
-            Sj = sim_poses[pj]
             li.append(pi)
             lj.append(pj)
-            lmeas.append(np.asarray(
-                se3.sim3_compose(Si, se3.sim3_inverse(Sj))))
+            lmeas.append(np.asarray(pmeas))
 
         ei, ej, meas, ew = pose_graph.build_essential_edges(
             cov_np, np.asarray(sim_poses), parent,
@@ -487,7 +497,7 @@ class LoopCloser:
 
         opt = pose_graph.optimize_pose_graph(
             sim_poses, jnp.asarray(valid), jnp.asarray(fixed),
-            ei, ej, meas, ew, iters=15, fix_scale=self.fix_scale)
+            ei, ej, meas, ew, iters=40, fix_scale=self.fix_scale)
         new_poses = opt[:, :7]
         new_poses = jax.vmap(
             lambda q, t: se3.se3_make(se3.quat_normalize(q), t))(
@@ -497,20 +507,29 @@ class LoopCloser:
         # post-correction duplicate fusion (SearchAndFuse,
         # LoopClosing.cc:542-613): with the loop closed, loop-side and
         # current-side points now project onto the same features — merge
-        # them in the current keyframe and its temporal neighbor
+        # them in the current keyframe, its temporal predecessor, AND
+        # every keyframe inserted after it (the real-time path's loop
+        # detection lags tracking by a drain window; un-fused newer
+        # keyframes would keep duplicating the revisited structure and
+        # re-trigger loop detection every few keyframes)
         from ..mapstate import maintenance as mt
 
-        m = mt.fuse_duplicates(self.cfg.camera, m, jnp.asarray(kf_cur),
-                               scale_factor=self.cfg.orb.scale_factor,
-                               max_candidates=self.cfg.capacity.local_points)
         prev = mt.prev_valid_kf(m, jnp.asarray(kf_cur))
-        m = jax.lax.cond(
-            prev >= 0,
-            lambda mm: mt.fuse_duplicates(
-                self.cfg.camera, mm, jnp.maximum(prev, 0),
+        fuse_slots = [int(np.asarray(prev))] if int(np.asarray(prev)) >= 0 \
+            else []
+        kf_valid_now = np.asarray(m.kf_valid)
+        fuse_slots += [k for k in range(kf_cur, nkf) if kf_valid_now[k]]
+        for k in fuse_slots[:12]:
+            # WIDE search radius: right after a large-drift correction the
+            # duplicated revisit structure can sit tens of px from its
+            # original — the hot path's 3 px window would leave the two
+            # copies unmerged forever (descriptor gate + mutual-duplicate
+            # resolution still protect against wrong merges)
+            m = mt.fuse_duplicates(
+                self.cfg.camera, m, jnp.asarray(k),
                 scale_factor=self.cfg.orb.scale_factor,
-                max_candidates=self.cfg.capacity.local_points),
-            lambda mm: mm, m)
+                max_candidates=self.cfg.capacity.local_points,
+                radius=6.0)
 
         # covisibility-windowed local BA around the loop keyframe: after
         # the closure, the covisible set spans both trajectory segments —
@@ -521,28 +540,52 @@ class LoopCloser:
         m = trk.local_ba_cov_step(self.cfg, m, jnp.asarray(kf_cur), cov)
 
         # full-map BA after the graph correction (the reference spawns
-        # RunGlobalBundleAdjustment here, LoopClosing.cc:575-579);
-        # cooperatively cancellable between iteration slices
+        # RunGlobalBundleAdjustment here, LoopClosing.cc:575-579). The
+        # first 10 iterations run to completion — the reference's
+        # GlobalBundleAdjustemnt(10) always finishes unless preempted by a
+        # NEW LOOP (mbStopGBA, LoopClosing.cc:410-423; ordinary keyframes
+        # abort only LOCAL BA via mbAbortBA) — and only the extra budget
+        # beyond that is cooperatively cancellable.
         if self.cfg.loop.run_global_ba:
             from ..optim.global_ba import global_ba_interruptible
 
-            m, self.last_gba_iters = global_ba_interruptible(
-                self.cfg, m, iters=self.cfg.loop.global_ba_iters,
-                should_abort=self.should_abort_gba)
-            self.gba_remaining = (self.cfg.loop.global_ba_iters
-                                  - self.last_gba_iters)
+            # pin the verified loop pair (and the gauge KF 0): with sparse
+            # cross-loop observations GBA's optimum is underdetermined
+            # along the trajectory's bow mode, and an unpinned solve slides
+            # the fresh closure back toward the drifted shape
+            pin = jnp.zeros(K, bool).at[kf_cur].set(True).at[
+                kf_loop].set(True)
+            self._gba_fixed = pin
+            total = self.cfg.loop.global_ba_iters
+            base = min(10, total)
+            m, done1 = global_ba_interruptible(self.cfg, m, iters=base,
+                                               fixed_extra=pin)
+            m, done2 = global_ba_interruptible(
+                self.cfg, m, iters=total - base,
+                should_abort=self.should_abort_gba, fixed_extra=pin)
+            self.last_gba_iters = done1 + done2
+            self.gba_remaining = total - self.last_gba_iters
         return m
 
-    def continue_gba(self, m: ms.MapState):
+    def continue_gba(self, m: ms.MapState, budget: int | None = None):
         """Resume an aborted global BA (the reference re-spawns GBA after
         the preempting work drains, LoopClosing.cc:645-749 under the map
-        mutex). Returns the updated map, or None if nothing was pending."""
+        mutex). `budget` bounds this resume slice and runs it without the
+        abort hook — guaranteed forward progress even while keyframes
+        keep arriving. Returns the updated map, or None if nothing was
+        pending."""
         if self.gba_remaining <= 0:
             return None
         from ..optim.global_ba import global_ba_interruptible
 
-        m, done = global_ba_interruptible(
-            self.cfg, m, iters=self.gba_remaining,
-            should_abort=self.should_abort_gba)
+        pin = getattr(self, "_gba_fixed", None)
+        if budget is not None:
+            iters = min(budget, self.gba_remaining)
+            m, done = global_ba_interruptible(self.cfg, m, iters=iters,
+                                              fixed_extra=pin)
+        else:
+            m, done = global_ba_interruptible(
+                self.cfg, m, iters=self.gba_remaining,
+                should_abort=self.should_abort_gba, fixed_extra=pin)
         self.gba_remaining -= done
         return m

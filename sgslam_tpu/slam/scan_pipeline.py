@@ -16,13 +16,15 @@ Architecture notes (measured on the chip, see bench.py / tools/bench_sweep):
     must copy every carried array, so threading the ~40 MB MapState through
     a per-frame keyframe cond costs more than all the tracking math
     combined. Instead the scan reads the map as a loop-invariant input and
-    only FLAGS keyframe frames; the first flagged frame of a chunk is
-    selected ON DEVICE into a `pending` tuple that the NEXT chunk's program
-    applies (insert + the full LocalMapping maintenance pass) before
-    tracking starts. Tracking therefore consumes the map as-of-the-last-
-    completed back-end pass — exactly the reference's Tracking/LocalMapping
-    thread decoupling (System.cc:145-174), with a bounded one-chunk
-    staleness, and the host never touches feature blocks.
+    only FLAGS keyframe frames; the first flagged frame is then inserted
+    (insert + the full LocalMapping maintenance pass) INSIDE the same
+    chunk program, and the frames after it are RE-TRACKED against the
+    updated map in a second scan pass — one map-copying `lax.cond` per
+    chunk, zero keyframe latency. (An earlier design deferred the
+    insertion to the next chunk's program; the one-chunk staleness made
+    inliers sawtooth to zero under fast rotation — ~4 deg/frame kills a
+    map that is 4 frames stale — which the per-frame reference pipeline
+    never exhibits, System.cc:145-174.)
   * Per-chunk results are packed into ONE [chunk+1, 9] array (pose, inlier
     count, keyframe flag per frame + a stats row), so draining k chunks is
     a single device_get of k small buffers — every separate host read of a
@@ -77,35 +79,34 @@ def insert_and_maintain_body(cfg: SlamConfig, m: ms.MapState, feats, Tcw,
     m = ms.insert_keyframe(cfg.camera, cfg.orb.scale_factor, m, feats,
                            Tcw, frame_id, matched,
                            cfg.close_depth_threshold)
+    # maintenance from the SECOND keyframe on (slot id >= 1), matching the
+    # per-frame Tracker's n_kf >= 2 gate — skipping the first triangulation
+    # pass starves the early map of ~100 points and the deficit compounds
     return jax.lax.cond(
-        kf_id >= 2,
+        kf_id >= 1,
         lambda mm: tracking.process_new_keyframe(cfg, mm, kf_id),
         lambda mm: mm, m)
-
-
-insert_and_maintain = partial(jax.jit, static_argnums=(0,),
-                              donate_argnums=(1,))(insert_and_maintain_body)
 
 
 def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False,
                      stereo: bool = False, only_tracking: bool = False):
     """Build the jitted per-chunk program.
 
-    Returns fn(det_params, m, carry, grays, depths, pending) ->
-      (m', carry', packed [c+1,9], pending_out, feats_last, kf_dyn_boxes,
-       kf_obj_boxes)
-    where packed rows are [pose(7), n_inliers, need_kf] per frame plus a
-    final stats row [next_kf, next_pt, 0...]; pending_out is the first
-    flagged keyframe of this chunk (selected on device), to be fed back as
-    `pending` of the next chunk; kf_*_boxes are that frame's detections
-    (for the semantic mapper); feats_last is the last frame's culled
-    feature block (for host-side relocalization on tracking loss).
+    Returns fn(det_params, m, carry, grays, depths) ->
+      (m', carry', packed [c+1,9], feats_last, kf_dyn_boxes, kf_obj_boxes)
+    where packed rows are [pose(7), n_inliers, is_kf] per frame plus a
+    final stats row [next_kf, next_pt, kf_flag, i_kf, 0...]. The first
+    flagged keyframe of a chunk is inserted IN-CHUNK (insert + the full
+    LocalMapping maintenance pass) and the frames after it are re-tracked
+    against the updated map. kf_*_boxes are the keyframe frame's
+    detections (for the semantic mapper); feats_last is the last frame's
+    culled feature block (for host-side relocalization on tracking loss).
     det_params is ignored when detector is None (pass None).
     stereo=True interprets (grays, depths) as the rectified (left, right)
     image pair and fills depth by epipolar SAD search instead
     (extract_frame_stereo) — the stereo mode on the real-time path.
     only_tracking=True freezes the map: no frame is ever flagged as a
-    keyframe, so the pending-apply branch never fires (localization-only
+    keyframe, so the insertion branch never fires (localization-only
     mode, System::ActivateLocalizationMode, System.cc:345-355).
     """
     t = cfg.tracker
@@ -154,20 +155,12 @@ def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False,
 
             return jax.vmap(one)(box_pred, logits)
 
-    def chunk_fn(det_params, m, carry: TrackCarry, grays, depths, pending):
-        """pending = (flag, feats, pose, frame_id, matched): at most one
-        keyframe flagged by the PREVIOUS chunk, applied (insert + the full
-        LocalMapping maintenance pass) inside this program before tracking
-        starts — merging the back-end into the same dispatch. The identity
-        branch of this once-per-chunk cond costs one map copy, unlike the
-        per-frame cond the old in-scan design paid."""
-        p_flag, p_feats, p_pose, p_fid, p_matched = pending
-        m = jax.lax.cond(
-            p_flag,
-            lambda mm: insert_and_maintain_body(cfg, mm, p_feats, p_pose,
-                                                p_fid, p_matched),
-            lambda mm: mm, m)
-
+    def chunk_fn(det_params, m, carry: TrackCarry, grays, depths):
+        """One chunk = batched frontend + sequential tracking + (when a
+        frame flags a keyframe) in-chunk insertion + re-track of the
+        remaining frames, all in one dispatch. The once-per-chunk
+        keyframe cond costs one map copy on its identity branch — the
+        price of keeping the map out of the scan carry."""
         n = grays.shape[0]
         # ---- batched per-frame stages (wide, parallel) ----
         if stereo:
@@ -218,68 +211,128 @@ def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False,
             new_key = carry.key
 
         # ---- sequential tracking core (map is loop-INVARIANT) ----
-        def body(c, xs):
-            f = xs
-            Tcw_pred = se3.se3_compose(c[1], c[0])
-            Tcw, matched, n_inl, tc, uc = tracking.track_step(
-                cfg, m, f, Tcw_pred)
-            ok = n_inl >= t.min_inliers_local_map
-            Tcw = jnp.where(ok, Tcw, Tcw_pred)
-            since = c[2] + 1
-            ref = c[3]
-            need_close = (tc < 100) & (uc > 70)
-            c1 = since >= t.max_frames_between_kf
-            # KF need is RELATIVE to the reference keyframe's match count
-            # (Tracking.cc:1085-1113: mnMatchesInliers < nRefMatches*ratio)
-            c2 = ((n_inl < ref.astype(jnp.float32) * t.kf_tracked_ratio)
-                  | need_close)
-            need_kf = ok & (c1 | (c2 & (n_inl > 15)))
-            if only_tracking:
-                need_kf = jnp.zeros_like(need_kf)
-            vel = se3.se3_compose(Tcw, se3.se3_inverse(c[0]))
-            out = (Tcw, n_inl, matched, need_kf)
-            return (Tcw, vel, jnp.where(need_kf, 0, since),
-                    jnp.where(need_kf, n_inl, ref)), out
+        def make_body(mm, allow_kf: bool):
+            def body(c, f):
+                Tcw_pred = se3.se3_compose(c[1], c[0])
+                Tcw, matched, n_inl, tc, uc = tracking.track_step(
+                    cfg, mm, f, Tcw_pred)
+                ok = n_inl >= t.min_inliers_local_map
+                Tcw = jnp.where(ok, Tcw, Tcw_pred)
+                since = c[2] + 1
+                ref = c[3]
+                need_close = (tc < 100) & (uc > 70)
+                c1 = since >= t.max_frames_between_kf
+                # KF need is RELATIVE to the reference keyframe's matches
+                # (Tracking.cc:1085-1113: inliers < nRefMatches*ratio)
+                c2 = ((n_inl < ref.astype(jnp.float32) * t.kf_tracked_ratio)
+                      | need_close)
+                need_kf = ok & (c1 | (c2 & (n_inl > 15)))
+                if only_tracking or not allow_kf:
+                    need_kf = jnp.zeros_like(need_kf)
+                vel = se3.se3_compose(Tcw, se3.se3_inverse(c[0]))
+                c_out = (Tcw, vel, jnp.where(need_kf, 0, since),
+                         jnp.where(need_kf, n_inl, ref))
+                return c_out, (Tcw, n_inl, matched, need_kf, c_out)
+            return body
 
-        (Tcw, vel, since, ref), outs = jax.lax.scan(
-            body, (carry.Tcw, carry.velocity, carry.since_kf,
-                   carry.ref_matches), feats_culled)
-        poses, n_inl, matched, need_kf = outs
+        c0 = (carry.Tcw, carry.velocity, carry.since_kf, carry.ref_matches)
+
+        def retrack(mm, pin_idx, prev, allow_kf: bool):
+            """Re-run the tracking scan against an updated map: frames at
+            or before `pin_idx` keep the previous pass's results, and the
+            carry rides the previous pass's recorded states up to
+            `pin_idx`, so the first live frame starts from the keyframe
+            frame's exact state. Pinned frames report need=False (their
+            keyframe was consumed by the insertion)."""
+            trk = make_body(mm, allow_kf)
+
+            def body(c, xs):
+                f, j, p = xs
+                live = j > pin_idx
+                c_out, out = trk(c, f)
+                c_next = jax.tree.map(
+                    lambda a, b: jnp.where(live, a, b), c_out, p[4])
+                out_sel = jax.tree.map(
+                    lambda a, b: jnp.where(live, a, b), out,
+                    (p[0], p[1], p[2], jnp.zeros_like(out[3]), p[4]))
+                return c_next, out_sel
+
+            return jax.lax.scan(body, c0,
+                                (feats_culled, jnp.arange(n), prev))
+
+        def insert_at(mm, outs, idx):
+            kf_feats = jax.tree.map(lambda x: x[idx], feats_culled)
+            return insert_and_maintain_body(
+                cfg, mm, kf_feats, outs[0][idx],
+                carry.frame_id + idx, outs[2][idx])
+
+        # ---- pass 1: track the chunk against the incoming map
+        c1_final, outs1 = jax.lax.scan(make_body(m, True), c0, feats_culled)
+        flag1 = jnp.any(outs1[3])
+        i1 = jnp.argmax(outs1[3]).astype(jnp.int32)   # first flagged frame
+
+        # ---- in-chunk keyframe application + re-track (up to TWO rounds):
+        # the flagged frame is inserted NOW (insert + full LocalMapping
+        # maintenance) and later frames re-run against the updated map —
+        # the per-frame path's zero-latency insertion cadence. The second
+        # round exists because under fast rotation one keyframe per chunk
+        # is not enough: the re-tracked frames may legitimately need the
+        # NEXT keyframe within the same chunk.
+        def with_kf1(mm):
+            m2 = insert_at(mm, outs1, i1)
+            c2_final, outs2 = retrack(m2, i1, outs1, allow_kf=True)
+            flag2 = jnp.any(outs2[3])
+            i2 = jnp.argmax(outs2[3]).astype(jnp.int32)
+
+            def with_kf2(mm2):
+                m3 = insert_at(mm2, outs2, i2)
+                c3_final, outs3 = retrack(m3, i2, outs2, allow_kf=False)
+                return m3, c3_final, outs3
+
+            def no_kf2(mm2):
+                return mm2, c2_final, outs2
+
+            m3, c_fin, outs_fin = jax.lax.cond(flag2, with_kf2, no_kf2, m2)
+            return m3, c_fin, outs_fin, flag2, i2
+
+        def no_kf1(mm):
+            return (mm, c1_final, outs1, jnp.asarray(False),
+                    jnp.zeros((), jnp.int32))
+
+        m, c_final, outs, flag2, i2 = jax.lax.cond(
+            flag1, with_kf1, no_kf1, m)
+        poses, n_inl, matched = outs[0], outs[1], outs[2]
 
         last_feats = jax.tree.map(lambda x: x[-1], feats)
         last_boxes = jax.tree.map(lambda x: x[-1], dyn_boxes)
-        carry2 = TrackCarry(Tcw=Tcw, velocity=vel, since_kf=since,
-                            ref_matches=ref,
+        carry2 = TrackCarry(Tcw=c_final[0], velocity=c_final[1],
+                            since_kf=c_final[2], ref_matches=c_final[3],
                             frame_id=carry.frame_id + n,
                             prev_feats=last_feats, prev_boxes=last_boxes,
                             key=new_key)
 
-        # ---- on-device pending-keyframe selection (first flagged frame) —
-        # the host never inspects feature blocks
-        flag = jnp.any(need_kf)
-        i_kf = jnp.argmax(need_kf)                # first True
-        pending_out = (
-            flag,
-            jax.tree.map(lambda x: x[i_kf], feats_culled),
-            poses[i_kf],
-            carry.frame_id + i_kf.astype(jnp.int32),
-            matched[i_kf],
-        )
-        kf_dyn = jax.tree.map(lambda x: x[i_kf], dyn_boxes)
-        kf_obj = jax.tree.map(lambda x: x[i_kf], obj_boxes)
+        kf_dyn = jax.tree.map(lambda x: jnp.stack([x[i1], x[i2]]),
+                              dyn_boxes)
+        kf_obj = jax.tree.map(lambda x: jnp.stack([x[i1], x[i2]]),
+                              obj_boxes)
 
-        # ---- ONE packed result array: [pose(7), n_inl, need_kf] per frame
-        # + stats row [next_kf, next_pt, 0...]
+        # ---- ONE packed result array: [pose(7), n_inl, is_kf] per frame
+        # + stats row [next_kf, next_pt, n_kf_inserted, i1, i2, 0...]
+        n_ins = flag1.astype(jnp.float32) + flag2.astype(jnp.float32)
+        is_kf = (((jnp.arange(n) == i1) & flag1)
+                 | ((jnp.arange(n) == i2) & flag2))
         rows = jnp.concatenate(
             [poses, n_inl.astype(jnp.float32)[:, None],
-             need_kf.astype(jnp.float32)[:, None]], axis=1)
+             is_kf.astype(jnp.float32)[:, None]], axis=1)
         stats = jnp.zeros((1, 9), jnp.float32).at[0, 0].set(
             m.next_kf.astype(jnp.float32)).at[0, 1].set(
-            m.next_pt.astype(jnp.float32))
+            m.next_pt.astype(jnp.float32)).at[0, 2].set(
+            n_ins).at[0, 3].set(i1.astype(jnp.float32)).at[0, 4].set(
+            i2.astype(jnp.float32))
         packed = jnp.concatenate([rows, stats], axis=0)
 
         feats_last = jax.tree.map(lambda x: x[-1], feats_culled)
-        return (m, carry2, packed, pending_out, feats_last, kf_dyn, kf_obj)
+        return (m, carry2, packed, feats_last, kf_dyn, kf_obj)
 
     return jax.jit(chunk_fn, donate_argnums=(1,))
 
@@ -296,10 +349,11 @@ def _export_traj(poses, ref_pose_ins, ref_pose_now):
 
 @dataclasses.dataclass
 class _KfEvent:
-    """A chunk flagged a keyframe; its slot id becomes known when a later
-    chunk's stats row shows the insertion (the pending apply)."""
+    """A keyframe inserted in-chunk; the drain fires loop closing and
+    semantic mapping for it (the reference's LocalMapping->LoopClosing /
+    PointcloudMapping queue hand-offs)."""
 
-    pose: np.ndarray          # tracked pose at the flagged frame
+    pose: np.ndarray          # tracked pose at the keyframe frame
     gray: object              # device array [H,W] (mapper input)
     depth: object
     dyn_boxes: object         # Boxes (device)
@@ -334,10 +388,11 @@ class _ChunkRunnerBase:
                 "keyframe events carry the right image, not a depth map — "
                 "run RGB-D, or map from an external depth source")
         if loop is not None:
-            # GBA-abort producer (the mbStopGBA role): a queued keyframe
-            # event preempts a running post-loop global BA; the remainder
-            # resumes at an idle drain via continue_gba below
-            loop.should_abort_gba = lambda: bool(self._kf_events)
+            # GBA-abort producer (the mbStopGBA role): a keyframe event
+            # still waiting in the current drain window preempts a running
+            # post-loop global BA; the remainder resumes at an idle drain
+            # via continue_gba below
+            loop.should_abort_gba = lambda: self._events_waiting > 0
             # candidate inspection lags one keyframe so its host fetch
             # overlaps device work (no per-KF tunnel round trip)
             loop.deferred = True
@@ -350,10 +405,8 @@ class _ChunkRunnerBase:
                                     stereo=self.stereo,
                                     only_tracking=only_tracking)
         self._carry = None
-        self._pending_dev = None          # device pending tuple
-        self._pending_proto = None
         self._inflight: list = []         # dispatched, not-yet-fetched
-        self._kf_events: list[_KfEvent] = []
+        self._events_waiting = 0          # KF events left in this drain
         self._next_kf_host = 0
         self._ref_slot = -1               # current reference KF slot
         self._ref_pose_ins = np.asarray(se3.se3_identity())
@@ -406,7 +459,14 @@ class _ChunkRunnerBase:
         self._traj_refpose.append(np.asarray(se3.se3_identity()))
         self.frame_lost.append(self.inner.state == "LOST")
         if self.inner.kf_inserted and self.loop is not None:
-            self.loop.on_keyframe(self.inner.map, self.inner.last_kf_id)
+            corrected = self.loop.on_keyframe(self.inner.map,
+                                              self.inner.last_kf_id)
+            if corrected is not None:
+                # bootstrap still runs the per-frame tracker: install the
+                # correction the way the System path does
+                self.inner.map = corrected
+                self.inner.Tcw = corrected.kf_pose[self.inner.last_kf_id]
+                self.inner.last_Tcw = self.inner.Tcw
         if self.inner.state == "OK":
             # (re)sync the chunk state — bootstrap may be called repeatedly
             ref = (self.inner.n_inliers_hist[-1]
@@ -422,22 +482,11 @@ class _ChunkRunnerBase:
                 prev_feats=feats_raw, prev_boxes=dyn_b,
                 key=jax.random.PRNGKey(7))
             self._map = self.inner.map
-            self._pending_dev = self._empty_pending()
             self._next_kf_host = int(np.asarray(self._map.next_kf))
             self._ref_slot = self.inner.last_kf_id
             self._ref_pose_ins = np.asarray(
                 self._map.kf_pose[self._ref_slot])
         return self.inner.state == "OK"
-
-    def _empty_pending(self):
-        if self._pending_proto is None:
-            f = jax.tree.map(
-                lambda x: jnp.zeros_like(x), self._carry.prev_feats)
-            self._pending_proto = (
-                jnp.asarray(False), f, jnp.zeros(7, jnp.float32),
-                jnp.zeros((), jnp.int32),
-                jnp.full((self.cfg.orb.max_keypoints,), -1, jnp.int32))
-        return self._pending_proto
 
     def process_chunk(self, grays, depths):
         """grays/depths [chunk, H, W]. Results are drained (trajectory,
@@ -447,11 +496,8 @@ class _ChunkRunnerBase:
         if self._want_compact:
             self._compact_now()
         params = self.detector.params if self.detector is not None else None
-        out = self._fn(params, self._map, self._carry, grays, depths,
-                       self._pending_dev)
-        (self._map, self._carry, packed, pending_out, feats_last,
-         kf_dyn, kf_obj) = out
-        self._pending_dev = pending_out
+        out = self._fn(params, self._map, self._carry, grays, depths)
+        (self._map, self._carry, packed, feats_last, kf_dyn, kf_obj) = out
         self._inflight.append((packed, feats_last, kf_dyn, kf_obj,
                                grays, depths))
         if len(self._inflight) >= self.fetch_every:
@@ -466,50 +512,59 @@ class _ChunkRunnerBase:
         # ONE packed transfer for everything the host must look at
         packed_np = jax.device_get([r[0] for r in recs])
         window_lost = False
+        # GBA-abort producer input: keyframe events still queued behind the
+        # one being processed ("a keyframe is waiting", mbStopGBA role)
+        self._events_waiting = sum(int(pk[pk.shape[0] - 1, 2])
+                                   for pk in packed_np)
         for (packed, feats_last, kf_dyn, kf_obj, grays, depths), pk in zip(
                 recs, packed_np):
             c = pk.shape[0] - 1
             poses = pk[:c, :7]
             n_inl = pk[:c, 7].astype(int)
-            need = pk[:c, 8] > 0.5
             lost = n_inl < self.cfg.tracker.min_inliers_local_map
             self.frame_lost.extend(lost.tolist())
             window_lost = window_lost or bool(lost.any())
             next_kf = int(pk[c, 0])
-            # the pending of an EARLIER chunk was applied at this chunk's
-            # start: resolve its slot id and fire loop closing + mapping
-            if next_kf > self._next_kf_host and self._kf_events:
-                ev = self._kf_events.pop(0)
-                self._on_keyframe_inserted(next_kf - 1, ev)
+            n_ins = int(pk[c, 2])
+            kf_at = [(int(pk[c, 3 + w]), next_kf - n_ins + w, w)
+                     for w in range(n_ins)]
+            # keyframes were inserted IN-CHUNK: frames up to each anchor
+            # to the reference keyframe current at that point, frames
+            # after it to the newly inserted one
+            prev_end = 0
+            for idx, slot, w in kf_at:
+                seg = idx + 1 - prev_end
+                self.trajectory.extend(list(poses[prev_end:idx + 1]))
+                self._traj_ref.extend([self._ref_slot] * seg)
+                self._traj_refpose.extend([self._ref_pose_ins] * seg)
+                prev_end = idx + 1
+                self._events_waiting -= 1
+                ev = _KfEvent(
+                    pose=poses[idx], gray=grays[idx], depth=depths[idx],
+                    dyn_boxes=jax.tree.map(lambda x: x[w], kf_dyn),
+                    obj_boxes=jax.tree.map(lambda x: x[w], kf_obj))
+                self._on_keyframe_inserted(slot, ev)
+            self.trajectory.extend(list(poses[prev_end:]))
+            self._traj_ref.extend([self._ref_slot] * (c - prev_end))
+            self._traj_refpose.extend([self._ref_pose_ins] * (c - prev_end))
             self._next_kf_host = max(self._next_kf_host, next_kf)
-            # record frames against the current reference keyframe
-            self.trajectory.extend(list(poses))
-            self._traj_ref.extend([self._ref_slot] * c)
-            self._traj_refpose.extend([self._ref_pose_ins] * c)
             self.n_inliers_hist.extend(n_inl.tolist())
-            # queue this chunk's flagged keyframe (applied next chunk)
-            flagged = np.nonzero(need)[0]
-            if flagged.size:
-                i = int(flagged[0])
-                self._kf_events.append(_KfEvent(
-                    pose=poses[i], gray=grays[i], depth=depths[i],
-                    dyn_boxes=kf_dyn, obj_boxes=kf_obj))
             self._maybe_compact(next_kf, int(pk[c, 1]))
         if self._world_corrected:
-            # a loop correction re-anchored the world mid-window: frames
-            # of FUTURE chunks are tracked in the corrected world, so the
-            # reference anchor must move to the ref KF's corrected pose
-            # (frames of this window, already recorded above, keep the
-            # old-world anchor their raw poses are consistent with)
-            self._world_corrected = False
-            if self._ref_slot >= 0:
-                self._ref_pose_ins = np.asarray(
-                    self._map.kf_pose[self._ref_slot])
-        # idle drain: resume an aborted post-loop global BA (the reference
-        # re-runs GBA once the preempting keyframe work drains)
-        if (self.loop is not None and not self._kf_events
-                and self.loop.gba_remaining > 0):
-            m2 = self.loop.continue_gba(self._map)
+            # a loop correction re-anchored the world mid-window: the live
+            # carry and the reference anchor move to the corrected world
+            # for FUTURE chunks (frames of this window, already recorded
+            # above, keep the old-world anchor their raw poses are
+            # consistent with)
+            self._reanchor_after_corrections()
+        # resume an aborted post-loop global BA: the full remainder on an
+        # idle drain, a bounded non-abortable slice otherwise — GBA makes
+        # guaranteed progress even when keyframes keep arriving (the
+        # reference's GBA thread runs concurrently with tracking)
+        if self.loop is not None and self.loop.gba_remaining > 0:
+            idle = self._events_waiting == 0
+            m2 = self.loop.continue_gba(self._map,
+                                        budget=None if idle else 4)
             if m2 is not None:
                 self._map = m2
         # tracking loss ANYWHERE in the drained window -> relocalize
@@ -533,23 +588,35 @@ class _ChunkRunnerBase:
             self._install_correction(corrected)
 
     def _install_correction(self, corrected):
-        """Adopt a loop-corrected map and re-anchor the live tracking
-        state through the correction delta of the loop keyframe:
-        T' = T o inv(T_kf_old) o T_kf_new (velocity is invariant under
-        the world re-anchoring)."""
+        """Adopt a loop-corrected map. The live carry is NOT touched here:
+        the essential graph corrects every keyframe differently, and the
+        carry is relative to the NEWEST keyframe of the drain window —
+        which may not even be known yet while events of this window are
+        still being processed. `_reanchor_after_corrections` applies the
+        carry delta once, at the window end, through the final reference
+        keyframe's insertion-time vs corrected pose."""
         if corrected is None:
             return
         self.loops_closed += 1
         self._world_corrected = True
-        _, old_pose, new_pose = self.loop.last_correction
         self._map = corrected
-        delta = se3.se3_compose(se3.se3_inverse(old_pose), new_pose)
+
+    def _reanchor_after_corrections(self):
+        """Window-end carry re-anchoring after >=1 loop corrections:
+        T' = T o inv(T_ref_at_insertion) o T_ref_now. All device tracking
+        of the drained window ran in the pre-correction world (the world
+        the reference keyframe was inserted in), so the composition is
+        exact even across multiple corrections (velocity is invariant
+        under the re-anchoring)."""
+        self._world_corrected = False
+        if self._ref_slot < 0:
+            return
+        ref_now = self._map.kf_pose[self._ref_slot]
+        delta = se3.se3_compose(
+            se3.se3_inverse(jnp.asarray(self._ref_pose_ins)), ref_now)
         self._carry = dataclasses.replace(
             self._carry, Tcw=se3.se3_compose(self._carry.Tcw, delta))
-        p = self._pending_dev
-        if bool(np.asarray(p[0])):
-            self._pending_dev = (
-                p[0], p[1], se3.se3_compose(p[2], delta), p[3], p[4])
+        self._ref_pose_ins = np.asarray(ref_now)
 
     def _try_relocalize(self, feats_last):
         T, n = self.loop.relocalize(self._map, feats_last)
@@ -560,28 +627,15 @@ class _ChunkRunnerBase:
                 velocity=se3.se3_identity())
 
     def flush(self):
-        """Drain in-flight chunks, apply the queued keyframe, resolve any
-        deferred loop detection."""
+        """Drain in-flight chunks and resolve any deferred loop
+        detection (keyframes are applied in-chunk; nothing else pends)."""
         self._drain_all()
-        if self._pending_dev is None:
+        if self._carry is None:
             return
-        flag, f, pose, fid, matched = self._pending_dev
-        if bool(np.asarray(flag)):
-            self._map = insert_and_maintain(self.cfg, self._map, f, pose,
-                                            fid, matched)
-            self._pending_dev = self._empty_pending()
-            nk = int(np.asarray(self._map.next_kf))
-            if self._kf_events:
-                ev = self._kf_events.pop(0)
-                self._on_keyframe_inserted(nk - 1, ev)
-            self._next_kf_host = nk
         if self.loop is not None:
             self._install_correction(self.loop.flush(self._map))
             if self._world_corrected:
-                self._world_corrected = False
-                if self._ref_slot >= 0:
-                    self._ref_pose_ins = np.asarray(
-                        self._map.kf_pose[self._ref_slot])
+                self._reanchor_after_corrections()
 
     flush_keyframes = flush
 

@@ -107,8 +107,17 @@ def main():
     det = det_mod.Detector2D(cfg, params=params)
     eval_planes = vary(synthetic.ROOM, 71.0)   # unseen textures
     k = jax.random.PRNGKey(123)
-    classes = {15: "person", 5: "bottle", 9: "chair", 20: "tvmonitor"}
-    stats = {c: [0, 0, 0] for c in classes}    # tp, fp, fn
+    classes = {15: "person", 2: "bicycle", 5: "bottle", 6: "bus",
+               7: "car", 9: "chair", 11: "diningtable", 16: "pottedplant",
+               18: "sofa", 19: "train", 20: "tvmonitor"}
+    # person is measured at the CULL gate (0.2, the boxes tracking
+    # consumes, Detector2D.cc:74-84) and the standard gate; other classes
+    # at the standard object gate (0.5)
+    gates = {c: (cfg.person_box_conf_for_culling if c == 15
+                 else cfg.conf_threshold) for c in classes}
+    extra_person_gate = cfg.conf_threshold
+    stats = {c: [0, 0, 0] for c in classes}          # tp, fp, fn
+    stats_p_std = [0, 0, 0]                          # person @ 0.5
 
     def iou(g, p):
         x1 = max(g[0], p[0]); y1 = max(g[1], p[1])
@@ -117,49 +126,66 @@ def main():
         u = ((g[2]-g[0])*(g[3]-g[1]) + (p[2]-p[0])*(p[3]-p[1]) - inter)
         return inter / max(u, 1e-9)
 
-    for j in range(60):
+    def tally(stat, pred, gts):
+        matched = set()
+        for g in gts:
+            best, bi = 0.0, -1
+            for pi, p in enumerate(pred):
+                if pi in matched:
+                    continue
+                v = iou(g, p)
+                if v > best:
+                    best, bi = v, pi
+            if best >= 0.5:
+                stat[0] += 1
+                matched.add(bi)
+            else:
+                stat[2] += 1
+        stat[1] += len(pred) - len(matched)
+
+    for j in range(80):
         k, sub = jax.random.split(k)
         cam = dt.TRAIN_CAM if j % 2 == 0 else dt.TRAIN_CAM_43
         rgb, boxes, labels, vis = dt.sample_batch(sub, 1, eval_planes, cam)
         allb, _, pmap, obj2d = det.detect(rgb[0], 300, 300)
         pb = np.asarray(allb.xyxy)
         pc = np.asarray(allb.cls)
+        ps = np.asarray(allb.score)
         pv = np.asarray(allb.valid)
         gt_b = np.asarray(boxes[0]) * 300.0
         gt_l = np.asarray(labels[0])
         gt_v = np.asarray(vis[0])
         for c in classes:
-            pred = pb[pv & (pc == c)]
+            pred = pb[pv & (pc == c) & (ps > gates[c])]
             gts = gt_b[gt_v & (gt_l == c)]
-            matched = set()
-            for g in gts:
-                best, bi = 0.0, -1
-                for pi, p in enumerate(pred):
-                    if pi in matched:
-                        continue
-                    v = iou(g, p)
-                    if v > best:
-                        best, bi = v, pi
-                if best >= 0.5:
-                    stats[c][0] += 1
-                    matched.add(bi)
-                else:
-                    stats[c][2] += 1
-            stats[c][1] += len(pred) - len(matched)
+            tally(stats[c], pred, gts)
+            if c == 15:
+                tally(stats_p_std,
+                      pb[pv & (pc == c) & (ps > extra_person_gate)], gts)
 
     report = {"steps": args.steps,
               "platform": jax.devices()[0].platform,
               "eval": "held-out synthetic (unseen textures + photometric "
-                      "augmentation), IoU 0.5", "classes": {}}
+                      "augmentation), IoU 0.5; person at the 0.2 cull "
+                      "gate + the 0.5 standard gate, others at 0.5",
+              "classes": {}}
     for c, name in classes.items():
         tp, fp, fn = stats[c]
         rec = tp / max(tp + fn, 1)
         prec = tp / max(tp + fp, 1)
         report["classes"][name] = {"recall": round(rec, 3),
                                    "precision": round(prec, 3),
+                                   "gate": gates[c],
                                    "tp": tp, "fp": fp, "fn": fn}
-        print(f"held-out {name}: recall {rec:.3f} precision {prec:.3f} "
-              f"(tp={tp} fp={fp} fn={fn})")
+        print(f"held-out {name}@{gates[c]}: recall {rec:.3f} "
+              f"precision {prec:.3f} (tp={tp} fp={fp} fn={fn})")
+    tp, fp, fn = stats_p_std
+    report["classes"]["person@0.5"] = {
+        "recall": round(tp / max(tp + fn, 1), 3),
+        "precision": round(tp / max(tp + fp, 1), 3),
+        "gate": extra_person_gate, "tp": tp, "fp": fp, "fn": fn}
+    print(f"held-out person@0.5: recall {tp/max(tp+fn,1):.3f} "
+          f"precision {tp/max(tp+fp,1):.3f}")
     rep_path = os.path.join(
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "DETECTOR.json")
