@@ -44,13 +44,17 @@ DRIFT2_AT = 150             # ~1.88 of lap 2
 DRIFT_XI = np.array([0.55, 0.0, 0.26, 0.0, 0.15, 0.0], np.float32)
 
 
-def _inject_drift(tracker, xi=DRIFT_XI):
+def _inject_drift(tracker, xi=DRIFT_XI, start_kf: int = 0):
     """Warp keyframe poses + points by progressive world drift (same
-    mechanism as test_loop_e2e: locally consistent, globally bent)."""
+    mechanism as test_loop_e2e: locally consistent, globally bent).
+    `start_kf` ramps the warp from zero at that keyframe — REAL new drift
+    bends only the trajectory tracked after it, never retroactively
+    rewriting already-corrected keyframes."""
     m = tracker.map
     K = m.max_kf
     n_kf = int(m.next_kf)
-    frac = np.clip(np.arange(K, dtype=np.float32) / max(n_kf - 1, 1), 0, 1)
+    frac = np.clip((np.arange(K, dtype=np.float32) - start_kf)
+                   / max(n_kf - 1 - start_kf, 1), 0, 1)
     D = jax.vmap(se3.se3_exp)(jnp.asarray(frac[:, None] * xi[None, :]))
     new_poses = jax.vmap(
         lambda T, d: se3.se3_compose(T, se3.se3_inverse(d)))(m.kf_pose, D)
@@ -90,7 +94,10 @@ def two_loop_run():
                 "first loop must close before the second drift is injected")
             n_loops_at_drift2 = len(s.loop.loops_closed)
             ate_after_first = _kf_ate(s.tracker.map, poses)
-            _inject_drift(s.tracker)
+            # the second drift bends only the POST-closure trajectory
+            # (new odometry error never rewrites corrected keyframes)
+            kf_at_first_loop = s.loop.loops_closed[0][0]
+            _inject_drift(s.tracker, start_kf=kf_at_first_loop)
             ate_drifted2 = _kf_ate(s.tracker.map, poses)
         g, d = seq.frame(i)
         s.track_rgbd(g, d)
