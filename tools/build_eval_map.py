@@ -30,7 +30,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
-    ap.add_argument("--frames", type=int, default=660)
+    ap.add_argument("--frames", type=int, default=780)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -48,17 +48,31 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "sgslam_tpu", "assets", "eval_map.npz")
 
+    # high-resolution feature budget (1600/view): the scale targets ask
+    # for a map denser than the 1000-feature TUM preset naturally builds
     cfg = config.synthetic_config(
         width=640, height=480,
+        orb=config.OrbConfig(n_features=1600, max_keypoints=1664),
         tracker=config.TrackerConfig(max_frames_between_kf=2,
-                                     depth_threshold_factor=70.0),
+                                     depth_threshold_factor=150.0),
         capacity=config.MapCapacity(max_keyframes=288, max_points=32768,
                                     local_window=16, local_points=4096))
     n = args.frames
-    poses = synthetic.make_circuit_trajectory(n, loops=3.4)
+    # a LARGE closed hall (~5x the wall area of ROOM_CLOSED) walked on a
+    # wide circuit: the standard room saturates near 10k distinct points —
+    # the scale target (>=16k points / >=100k observations) needs more
+    # distinct trackable geometry, not more laps over the same walls
+    hall = (
+        synthetic.Plane(0.0, 0.0, -1.0, -8.0, 1.0),
+        synthetic.Plane(0.0, 0.0, 1.0, -8.0, 4.0),
+        synthetic.Plane(1.0, 0.0, 0.0, -6.0, 3.0),
+        synthetic.Plane(-1.0, 0.0, 0.0, -6.0, 5.0),
+        synthetic.Plane(0.0, -1.0, 0.0, -1.0, 2.0),
+        synthetic.Plane(0.0, 1.0, 0.0, -1.5, 6.0),
+    )
+    poses = synthetic.make_circuit_trajectory(n, radius=3.0, loops=1.3)
     seq = synthetic.SyntheticSequence(cfg.camera, n_frames=n,
-                                      planes=synthetic.ROOM_CLOSED,
-                                      poses=poses)
+                                      planes=hall, poses=poses)
     ct = scan_pipeline.ChunkedTracker(cfg, chunk=4, fetch_every=6)
     i = 0
     while ct._carry is None and i < n:
