@@ -284,6 +284,9 @@ def main(argv=None):
                     help="with --load-map: freeze the map and only track")
     ap.add_argument("--cpu", action="store_true", help="force JAX CPU")
     args = ap.parse_args(argv)
+    if args.localize_only and not args.load_map:
+        ap.error("--localize-only requires --load-map (there is no map to "
+                 "localize against)")
 
     import jax
 

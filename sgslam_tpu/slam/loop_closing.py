@@ -227,7 +227,6 @@ class LoopCloser:
         self.should_abort_gba = None
         self.last_gba_iters = 0
         self.gba_remaining = 0
-        self._gba_fixed = None    # loop-pair pin for the post-loop GBA
 
     def remap_keyframes(self, kf_old_to_new, old_valid):
         """Follow a map compaction: permute the BoW database rows and the
@@ -235,7 +234,6 @@ class LoopCloser:
         # a deferred detection holds a pre-compaction slot id; the runner
         # resolves via flush() before compacting, but drop defensively
         self._deferred_det = None
-        self._gba_fixed = None    # pin slots are pre-compaction ids
         K = self.bow_db.shape[0]
         old_valid = jnp.asarray(old_valid)
         dst = jnp.where(old_valid, jnp.asarray(kf_old_to_new), K)
@@ -254,9 +252,12 @@ class LoopCloser:
         # KeyFrame.cc:454-520 — its loop partner constraint dies with it)
         self.loop_edges = [(int(km[i]), int(km[j]), s)
                            for i, j, s in self.loop_edges
-                           if ov[i] and ov[j]]
-        self.loops_closed = [(int(km[i]) if ov[i] else -1,
-                              int(km[j]) if ov[j] else -1)
+                           if i >= 0 and j >= 0 and ov[i] and ov[j]]
+        # endpoints a previous compaction already killed stay -1: km[-1]
+        # and ov[-1] wrap to the last slot, which would "resurrect" a dead
+        # endpoint as a wrong live keyframe id
+        self.loops_closed = [(int(km[i]) if i >= 0 and ov[i] else -1,
+                              int(km[j]) if j >= 0 and ov[j] else -1)
                              for i, j in self.loops_closed]
 
     def on_keyframe(self, m: ms.MapState, kf_id: int):
@@ -340,12 +341,16 @@ class LoopCloser:
         # re-anchoring live state must use the correction of ITS OWN
         # reference keyframe, not the loop keyframe's
         old_poses = m.kf_pose
-        corrected = self._correct(m, kf_id, hit, S_ab, ms.covisibility(m))
+        corrected, sim_opt = self._correct(m, kf_id, hit, S_ab,
+                                           ms.covisibility(m))
         self.last_correction = (kf_id, old_poses, corrected.kf_pose)
-        # persist the loop constraint AS ESTABLISHED by this correction
-        one = jnp.ones((1,), corrected.kf_pose.dtype)
-        Si = jnp.concatenate([corrected.kf_pose[kf_id], one])
-        Sj = jnp.concatenate([corrected.kf_pose[hit], one])
+        # persist the loop constraint AS ESTABLISHED by this correction —
+        # from the FULL optimized Sim3 poses, scale included: with
+        # fix_scale=False (monocular) the closure carries a scale
+        # correction, and a stored scale-1 measurement would let every
+        # later essential-graph run pull that correction back out
+        Si = sim_opt[kf_id]
+        Sj = sim_opt[hit]
         self.loop_edges.append((int(kf_id), int(hit), np.asarray(
             se3.sim3_compose(Si, se3.sim3_inverse(Sj)))))
         return corrected
@@ -442,7 +447,11 @@ class LoopCloser:
 
     def _correct(self, m: ms.MapState, kf_cur: int, kf_loop: int, S_cur_loop,
                  cov):
-        """Pose-graph over Sim3 + point correction (CorrectLoop contract)."""
+        """Pose-graph over Sim3 + point correction (CorrectLoop contract).
+
+        Returns (corrected_map, optimized_sim_poses [K,8]) — the full Sim3
+        table (quat, t, scale) so callers can persist scale-true loop
+        constraints."""
         K = m.max_kf
         old_poses = m.kf_pose
         sim_poses = jnp.concatenate(
@@ -502,6 +511,7 @@ class LoopCloser:
         new_poses = jax.vmap(
             lambda q, t: se3.se3_make(se3.quat_normalize(q), t))(
             new_poses[:, :4], new_poses[:, 4:7])
+        sim_opt = jnp.concatenate([new_poses, opt[:, 7:8]], axis=1)
         m = _apply_correction(m, old_poses, new_poses)
 
         # post-correction duplicate fusion (SearchAndFuse,
@@ -549,14 +559,13 @@ class LoopCloser:
         if self.cfg.loop.run_global_ba:
             from ..optim.global_ba import global_ba_interruptible
 
-            # NOTE: no extra keyframes are pinned beyond the gauge (KF 0,
+            # No extra keyframes are pinned beyond the gauge (KF 0,
             # matching the reference's GBA). Pinning the loop pair was
             # tried and HELPS synthetic injected-drift fixtures slightly
             # but hurts real-drift closures (the closure-time poses are
             # themselves estimates GBA must refine): measured +0.6-1.8 cm
             # ATE on the walkers-circuit eval. global_ba_step keeps a
-            # fixed_extra hook for callers that need it.
-            self._gba_fixed = None
+            # fixed_extra hook for external callers that need it.
             total = self.cfg.loop.global_ba_iters
             base = min(10, total)
             m, done1 = global_ba_interruptible(self.cfg, m, iters=base)
@@ -565,7 +574,7 @@ class LoopCloser:
                 should_abort=self.should_abort_gba)
             self.last_gba_iters = done1 + done2
             self.gba_remaining = total - self.last_gba_iters
-        return m
+        return m, sim_opt
 
     def continue_gba(self, m: ms.MapState, budget: int | None = None):
         """Resume an aborted global BA (the reference re-spawns GBA after
@@ -578,14 +587,12 @@ class LoopCloser:
             return None
         from ..optim.global_ba import global_ba_interruptible
 
-        pin = getattr(self, "_gba_fixed", None)
         if budget is not None:
             iters = min(budget, self.gba_remaining)
-            m, done = global_ba_interruptible(self.cfg, m, iters=iters,
-                                              fixed_extra=pin)
+            m, done = global_ba_interruptible(self.cfg, m, iters=iters)
         else:
             m, done = global_ba_interruptible(
                 self.cfg, m, iters=self.gba_remaining,
-                should_abort=self.should_abort_gba, fixed_extra=pin)
+                should_abort=self.should_abort_gba)
         self.gba_remaining -= done
         return m

@@ -155,13 +155,20 @@ def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False,
 
             return jax.vmap(one)(box_pred, logits)
 
-    def chunk_fn(det_params, m, carry: TrackCarry, grays, depths):
+    def chunk_fn(det_params, m, carry: TrackCarry, grays, depths,
+                 n_live=None):
         """One chunk = batched frontend + sequential tracking + (when a
         frame flags a keyframe) in-chunk insertion + re-track of the
         remaining frames, all in one dispatch. The once-per-chunk
         keyframe cond costs one map copy on its identity branch — the
-        price of keeping the map out of the scan carry."""
+        price of keeping the map out of the scan carry.
+
+        n_live (i32 scalar, default = chunk length) suppresses keyframe
+        flagging for frames at index >= n_live: a padded tail chunk's
+        duplicate frames must never insert a spurious keyframe."""
         n = grays.shape[0]
+        if n_live is None:
+            n_live = n
         # ---- batched per-frame stages (wide, parallel) ----
         if stereo:
             feats = jax.vmap(
@@ -212,7 +219,8 @@ def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False,
 
         # ---- sequential tracking core (map is loop-INVARIANT) ----
         def make_body(mm, allow_kf: bool):
-            def body(c, f):
+            def body(c, xs):
+                f, j = xs
                 Tcw_pred = se3.se3_compose(c[1], c[0])
                 Tcw, matched, n_inl, tc, uc = tracking.track_step(
                     cfg, mm, f, Tcw_pred)
@@ -226,7 +234,7 @@ def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False,
                 # (Tracking.cc:1085-1113: inliers < nRefMatches*ratio)
                 c2 = ((n_inl < ref.astype(jnp.float32) * t.kf_tracked_ratio)
                       | need_close)
-                need_kf = ok & (c1 | (c2 & (n_inl > 15)))
+                need_kf = ok & (c1 | (c2 & (n_inl > 15))) & (j < n_live)
                 if only_tracking or not allow_kf:
                     need_kf = jnp.zeros_like(need_kf)
                 vel = se3.se3_compose(Tcw, se3.se3_inverse(c[0]))
@@ -249,7 +257,7 @@ def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False,
             def body(c, xs):
                 f, j, p = xs
                 live = j > pin_idx
-                c_out, out = trk(c, f)
+                c_out, out = trk(c, (f, j))
                 c_next = jax.tree.map(
                     lambda a, b: jnp.where(live, a, b), c_out, p[4])
                 out_sel = jax.tree.map(
@@ -267,7 +275,8 @@ def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False,
                 carry.frame_id + idx, outs[2][idx])
 
         # ---- pass 1: track the chunk against the incoming map
-        c1_final, outs1 = jax.lax.scan(make_body(m, True), c0, feats_culled)
+        c1_final, outs1 = jax.lax.scan(make_body(m, True), c0,
+                                       (feats_culled, jnp.arange(n)))
         flag1 = jnp.any(outs1[3])
         i1 = jnp.argmax(outs1[3]).astype(jnp.int32)   # first flagged frame
 
@@ -488,15 +497,18 @@ class _ChunkRunnerBase:
                 self._map.kf_pose[self._ref_slot])
         return self.inner.state == "OK"
 
-    def process_chunk(self, grays, depths):
+    def process_chunk(self, grays, depths, n_live: int | None = None):
         """grays/depths [chunk, H, W]. Results are drained (trajectory,
         keyframe events, loop closing, mapping, relocalization) every
-        `fetch_every` chunks; call flush() for the tail."""
+        `fetch_every` chunks; call flush() for the tail. n_live < chunk
+        (process_tail) suppresses keyframe flagging on the padded rows."""
         assert self._carry is not None, "bootstrap first"
         if self._want_compact:
             self._compact_now()
         params = self.detector.params if self.detector is not None else None
-        out = self._fn(params, self._map, self._carry, grays, depths)
+        out = self._fn(params, self._map, self._carry, grays, depths,
+                       jnp.asarray(self.chunk if n_live is None else n_live,
+                                   jnp.int32))
         (self._map, self._carry, packed, feats_last, kf_dyn, kf_obj) = out
         self._inflight.append((packed, feats_last, kf_dyn, kf_obj,
                                grays, depths))
@@ -511,7 +523,7 @@ class _ChunkRunnerBase:
         self._inflight = []
         # ONE packed transfer for everything the host must look at
         packed_np = jax.device_get([r[0] for r in recs])
-        window_lost = False
+        tail_lost = False
         # GBA-abort producer input: keyframe events still queued behind the
         # one being processed ("a keyframe is waiting", mbStopGBA role)
         self._events_waiting = sum(int(pk[pk.shape[0] - 1, 2])
@@ -523,7 +535,7 @@ class _ChunkRunnerBase:
             n_inl = pk[:c, 7].astype(int)
             lost = n_inl < self.cfg.tracker.min_inliers_local_map
             self.frame_lost.extend(lost.tolist())
-            window_lost = window_lost or bool(lost.any())
+            tail_lost = bool(lost[-1])
             next_kf = int(pk[c, 0])
             n_ins = int(pk[c, 2])
             kf_at = [(int(pk[c, 3 + w]), next_kf - n_ins + w, w)
@@ -567,13 +579,14 @@ class _ChunkRunnerBase:
                                         budget=None if idle else 4)
             if m2 is not None:
                 self._map = m2
-        # tracking loss ANYWHERE in the drained window -> relocalize
-        # (Tracking.h:93-99 LOST semantics: a mid-window collapse that
-        # coasts back above the gate left a corrupted-pose segment — the
-        # frames are flagged in `frame_lost` and the live pose re-anchors
-        # through the keyframe database; host fallback of
-        # Tracking::Relocalization)
-        if self.loop is not None and window_lost:
+        # relocalize only when tracking is STILL lost at the window's tail
+        # frame (Tracking.h:93-99: the reference relocalizes while
+        # state==LOST, not retroactively). A mid-window dip that recovered
+        # by the last frame keeps its healthy live pose — the affected
+        # frames stay flagged in `frame_lost` for exporters — whereas a
+        # PnP override here would clobber a good pose and zero velocity on
+        # every transient occlusion.
+        if self.loop is not None and tail_lost:
             self._try_relocalize(recs[-1][1])
 
     def _on_keyframe_inserted(self, kf_id: int, ev: _KfEvent):
@@ -641,7 +654,8 @@ class _ChunkRunnerBase:
 
     def process_tail(self, grays, depths):
         """Process a trailing partial chunk (< chunk frames): pad with the
-        last frame to the static chunk length, run normally, then drop the
+        last frame to the static chunk length, run normally (keyframe
+        flagging suppressed on the padded rows via n_live), then drop the
         padded rows from every recorded per-frame output — the sequence
         tail is tracked instead of silently discarded."""
         k = int(grays.shape[0])
@@ -655,7 +669,7 @@ class _ChunkRunnerBase:
             depths = jnp.concatenate(
                 [jnp.asarray(depths),
                  jnp.repeat(jnp.asarray(depths)[-1:], pad, 0)])
-        self.process_chunk(grays, depths)
+        self.process_chunk(grays, depths, n_live=k)
         self.flush()
         if pad > 0:
             for lst in (self.trajectory, self._traj_ref,

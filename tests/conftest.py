@@ -29,6 +29,24 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running full-system test")
+
+
+@pytest.fixture(scope="module", autouse=True)
+def _clear_jax_caches_between_modules():
+    """Release compiled-executable and tracing caches after each module.
+
+    The XLA CPU client accumulates live executables across the ~36 test
+    modules; around ~100 jitted programs in one process it aborts
+    (`Fatal Python error: Aborted`). Dropping the in-memory caches at
+    module boundaries keeps the client bounded; the on-disk persistent
+    compilation cache (above) makes the re-tracing cheap."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture(scope="session", autouse=True)
 def _tame_cv2():
     """cv2's thread pool starves XLA's on this 2-core host; pin it to 1."""
