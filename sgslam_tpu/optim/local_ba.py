@@ -11,16 +11,18 @@ TPU-first formulation, tuned for the MXU/VPU cost model:
     slots) — the per-camera Hessian blocks and gradients become plain row
     reductions, no scatter at all;
   * the point-block accumulations (H_pp, b_p) and the camera-point coupling
-    tensor A[p,c] are ONE-HOT MATMULS: scatter-add on TPU serializes, while
-    a [C*N, P] one-hot contraction is a dense MXU pass (~1-2 GFLOP here,
-    <0.1 ms) — this one change took local BA from 160 ms to the
-    single-digit-ms range;
+    tensor A[c,p] are ONE fused ONE-HOT MATMUL: scatter-add on TPU
+    serializes, while a [C,P,N] x [C,N,30] batched contraction is a dense
+    MXU pass — and fusing H_pp/b_p/A into one matmul reads the big
+    incidence operand once per iteration instead of three times;
   * H_pp^-1 is the closed-form 3x3 adjugate (VPU elementwise), not a
     batched LU;
   * Schur: S = H_cc - sum_p A_p Hpp^-1 A_p^T via two dense einsums, then
     one [6C, 6C] Cholesky-ish solve;
   * Huber weights + the reference's two-phase outlier gating (5 iters,
-  gate, 10 iters — Optimizer.cc:659-709) are mask updates inside the jit.
+    gate, 10 iters — Optimizer.cc:659-709) are mask updates inside the jit;
+  * both phases run under `lax.while_loop` with an early exit on
+    convergence — the iteration caps are budgets, not fixed costs.
 
 The same machinery scales out: shard the point axis over a device mesh and
 `psum` S and the reduced rhs (see parallel/dist_ba.py).
@@ -119,23 +121,44 @@ def _huber(chi2, delta2):
 
 
 @partial(jax.jit, static_argnums=(0,),
-         static_argnames=("iters1", "iters2", "damping"))
+         static_argnames=("iters1", "iters2", "damping", "tol"))
 def bundle_adjust(cam: Camera, prob: BAProblem, *, iters1: int = 5,
-                  iters2: int = 10, damping: float = 1e-3):
-    """Two-phase robust BA. Returns (poses, points, obs_inlier_mask [C,N])."""
+                  iters2: int = 10, damping: float = 1e-3,
+                  tol: float = 3e-4):
+    """Two-phase robust BA. Returns (poses, points, obs_inlier_mask [C,N]).
+
+    iters1/iters2 are BUDGETS, not fixed trip counts: each phase runs in a
+    `lax.while_loop` that exits once an accepted LM step improves the cost
+    by less than `tol` (relative), or the damping saturates at its ceiling
+    on a rejected step — converged windows (the common case in steady-state
+    tracking) stop after a few iterations instead of burning the full
+    accuracy-first budget.
+    """
     C, N = prob.obs_pt.shape
     P = prob.points.shape[0]
     delta2 = jnp.where(prob.obs_uvr[..., 2] >= 0, CHI2_STEREO, CHI2_MONO)
+    LAM_MAX = 1e2
 
     # one-hot point incidence, computed once: [C, N, P] in bf16 feeding MXU
     onehot = (prob.obs_pt[..., None]
               == jnp.arange(P, dtype=jnp.int32)).astype(jnp.bfloat16)
     onehot = onehot * (prob.obs_w > 0)[..., None].astype(jnp.bfloat16)
 
+    def rho(chi2, use_huber):
+        if not use_huber:
+            return chi2
+        return jnp.where(chi2 <= delta2, chi2,
+                         2.0 * jnp.sqrt(delta2 * jnp.maximum(chi2, 1e-12))
+                         - delta2)
+
     def gn_iter(state, use_huber):
+        """One LM step; returns (state', improved, rel_improvement)."""
         poses, points, obs_mask, lam = state
         r, Jc, Jp = _residual_jac(cam, poses, points, prob)
         chi2 = jnp.sum(r * r, -1) * prob.obs_w
+        # the CURRENT state's cost falls out of the residuals already in
+        # hand — no extra residual pass for the accept/reject test
+        cost_old = jnp.sum(rho(chi2, use_huber) * obs_mask)
         hw = _huber(chi2, delta2) if use_huber else 1.0
         w = prob.obs_w * hw * obs_mask                   # [C,N]
         cam_opt = prob.opt_mask[:, None]
@@ -145,16 +168,22 @@ def bundle_adjust(cam: Camera, prob: BAProblem, *, iters1: int = 5,
         Hcc = jnp.einsum("cnri,cnrj,cn->cij", Jc_m, Jc_m, w)   # [C,6,6]
         bc = jnp.einsum("cnri,cnr,cn->ci", Jc_m, r, w)
 
-        # point blocks via one-hot matmuls (MXU) — no scatters
+        # point blocks via ONE fused one-hot matmul (MXU) — no scatters.
+        # Hpp (9 cols), bp (3), and the coupling A (18) share the same
+        # [N] -> P incidence contraction, so they ride a single
+        # [C,P,N] x [C,N,30] batched matmul: the big incidence operand is
+        # read ONCE per iteration instead of three times.
         JpJp = jnp.einsum("cnri,cnrj,cn->cnij", Jp, Jp, w)      # [C,N,3,3]
-        Hpp = jnp.einsum("cnp,cnij->pij", onehot,
-                         JpJp.astype(jnp.bfloat16)).astype(jnp.float32)
         Jpr = jnp.einsum("cnri,cnr,cn->cni", Jp, r, w)
-        bp = jnp.einsum("cnp,cni->pi", onehot,
-                        Jpr.astype(jnp.bfloat16)).astype(jnp.float32)
         JcJp = jnp.einsum("cnri,cnrj,cn->cnij", Jc_m, Jp, w)    # [C,N,6,3]
-        A = jnp.einsum("cnp,cnij->pcij", onehot,
-                       JcJp.astype(jnp.bfloat16)).astype(jnp.float32)
+        rhs_all = jnp.concatenate(
+            [JpJp.reshape(C, N, 9), Jpr, JcJp.reshape(C, N, 18)],
+            axis=-1).astype(jnp.bfloat16)                       # [C,N,30]
+        out = jnp.einsum("cnp,cnk->cpk", onehot, rhs_all,
+                         preferred_element_type=jnp.float32)    # [C,P,30]
+        Hpp = jnp.sum(out[..., :9], axis=0).reshape(P, 3, 3)
+        bp = jnp.sum(out[..., 9:12], axis=0)                    # [P,3]
+        A = out[..., 12:30].reshape(C, P, 6, 3)   # camera-major coupling
 
         # Levenberg-Marquardt with RELATIVE (diagonal-proportional) damping:
         # Hessian entries scale like fx^2 ~ 1e6, so absolute damping leaves
@@ -162,10 +191,10 @@ def bundle_adjust(cam: Camera, prob: BAProblem, *, iters1: int = 5,
         dpp = jnp.einsum("pii->pi", Hpp)
         Hpp_d = Hpp + lam * jax.vmap(jnp.diag)(dpp) + 1e-6 * jnp.eye(3)
         Hpp_inv = inv3x3(Hpp_d)
-        M = jnp.einsum("pcis,pst->pcit", A, Hpp_inv)            # [P,C,6,3]
-        S = -jnp.einsum("pcit,pdjt->cidj", M, A)
+        M = jnp.einsum("cpis,pst->cpit", A, Hpp_inv)            # [C,P,6,3]
+        S = -jnp.einsum("cpit,dpjt->cidj", M, A)
         S = S.at[jnp.arange(C), :, jnp.arange(C), :].add(Hcc)
-        rhs = bc - jnp.einsum("pcit,pt->ci", M, bp)
+        rhs = bc - jnp.einsum("cpit,pt->ci", M, bp)
 
         Sd = S.reshape(C * 6, C * 6)
         diag_s = jnp.diagonal(Sd)
@@ -173,7 +202,7 @@ def bundle_adjust(cam: Camera, prob: BAProblem, *, iters1: int = 5,
         dc = jnp.linalg.solve(Sd, -rhs.reshape(-1)).reshape(C, 6)
         dc = jnp.where(prob.opt_mask[:, None], dc, 0.0)
         dp = -jnp.einsum("pst,pt->ps", Hpp_inv,
-                         bp + jnp.einsum("pcis,ci->ps", A, dc))
+                         bp + jnp.einsum("cpis,ci->ps", A, dc))
 
         new_poses = jax.vmap(lambda T, d: se3.se3_compose(se3.se3_exp(d), T))(
             poses, dc)
@@ -183,26 +212,40 @@ def bundle_adjust(cam: Camera, prob: BAProblem, *, iters1: int = 5,
         # accept only improving steps (rejected steps keep state; the next
         # iteration recomputes the same Hessian — cheap insurance against
         # the rare ill-conditioned window)
-        def cost(ps, pt):
-            rr, _, _ = _residual_jac(cam, ps, pt, prob)
-            c2 = jnp.sum(rr * rr, -1) * prob.obs_w
-            if use_huber:
-                c2 = jnp.where(c2 <= delta2, c2,
-                               2.0 * jnp.sqrt(delta2 * jnp.maximum(c2, 1e-12))
-                               - delta2)
-            return jnp.sum(c2 * obs_mask)
+        rr, _, _ = _residual_jac(cam, new_poses, new_points, prob)
+        c2 = jnp.sum(rr * rr, -1) * prob.obs_w
+        cost_new = jnp.sum(rho(c2, use_huber) * obs_mask)
 
         # adaptive LM: shrink damping on accepted steps, grow on rejects
-        improved = cost(new_poses, new_points) < cost(poses, points)
+        improved = cost_new < cost_old
         poses = jnp.where(improved, new_poses, poses)
         points = jnp.where(improved, new_points, points)
-        lam = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-5),
-                        jnp.minimum(lam * 4.0, 1e2))
-        return (poses, points, obs_mask, lam)
+        lam_next = jnp.where(improved, jnp.maximum(lam * 0.5, 1e-5),
+                             jnp.minimum(lam * 4.0, LAM_MAX))
+        rel = (cost_old - cost_new) / jnp.maximum(cost_old, 1e-9)
+        # "stuck" = this step was rejected while damping was ALREADY at its
+        # ceiling coming in
+        stuck = ~improved & (lam >= LAM_MAX)
+        return (poses, points, obs_mask, lam_next), improved, rel, stuck
 
     def phase(state, iters, use_huber):
-        return jax.lax.fori_loop(
-            0, iters, lambda _, s: gn_iter(s, use_huber), state)
+        if iters <= 0:
+            return state
+
+        def cond(s):
+            i, st, done = s
+            return (i < iters) & ~done
+
+        def body(s):
+            i, st, _ = s
+            st2, improved, rel, stuck = gn_iter(st, use_huber)
+            done = (improved & (rel < tol)) | stuck
+            return (i + 1, st2, done)
+
+        _, st, _ = jax.lax.while_loop(
+            cond, body, (jnp.asarray(0, jnp.int32), state,
+                         jnp.asarray(False)))
+        return st
 
     obs_valid = prob.obs_w > 0
     lam0 = jnp.asarray(damping, jnp.float32)

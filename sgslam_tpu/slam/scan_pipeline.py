@@ -246,27 +246,28 @@ def make_track_chunk(cfg: SlamConfig, detector=None, semantic: bool = False,
         c0 = (carry.Tcw, carry.velocity, carry.since_kf, carry.ref_matches)
 
         def retrack(mm, pin_idx, prev, allow_kf: bool):
-            """Re-run the tracking scan against an updated map: frames at
-            or before `pin_idx` keep the previous pass's results, and the
-            carry rides the previous pass's recorded states up to
-            `pin_idx`, so the first live frame starts from the keyframe
-            frame's exact state. Pinned frames report need=False (their
-            keyframe was consumed by the insertion)."""
+            """Re-run tracking against an updated map for the frames AFTER
+            `pin_idx` only: a `lax.while_loop` starts at the keyframe
+            frame's recorded state and walks the suffix, so the re-track
+            costs (n - pin - 1) track_steps instead of a full masked
+            chunk scan. Frames at or before `pin_idx` keep the previous
+            pass's results with need=False (their keyframe was consumed
+            by the insertion)."""
             trk = make_body(mm, allow_kf)
+            outs0 = (prev[0], prev[1], prev[2], jnp.zeros_like(prev[3]),
+                     prev[4])
+            c_start = jax.tree.map(lambda x: x[pin_idx], prev[4])
 
-            def body(c, xs):
-                f, j, p = xs
-                live = j > pin_idx
+            def body(s):
+                j, c, outs = s
+                f = jax.tree.map(lambda x: x[j], feats_culled)
                 c_out, out = trk(c, (f, j))
-                c_next = jax.tree.map(
-                    lambda a, b: jnp.where(live, a, b), c_out, p[4])
-                out_sel = jax.tree.map(
-                    lambda a, b: jnp.where(live, a, b), out,
-                    (p[0], p[1], p[2], jnp.zeros_like(out[3]), p[4]))
-                return c_next, out_sel
+                outs = jax.tree.map(lambda o, v: o.at[j].set(v), outs, out)
+                return (j + 1, c_out, outs)
 
-            return jax.lax.scan(body, c0,
-                                (feats_culled, jnp.arange(n), prev))
+            _, c_fin, outs = jax.lax.while_loop(
+                lambda s: s[0] < n, body, (pin_idx + 1, c_start, outs0))
+            return c_fin, outs
 
         def insert_at(mm, outs, idx):
             kf_feats = jax.tree.map(lambda x: x[idx], feats_culled)

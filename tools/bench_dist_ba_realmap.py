@@ -10,7 +10,7 @@ the realistic-scale evidence for BASELINE.md's multi-host scaling row
 the collective program; real scaling needs a multi-chip slice.
 
 Usage: python tools/bench_dist_ba_realmap.py [--devices 8] [--iters 4]
-       [--out MULTICHIP_SCALE_r04.json] [--tpu]
+       [--out MULTICHIP_SCALE_r05.json] [--tpu]
 """
 
 from __future__ import annotations
@@ -29,7 +29,7 @@ def main():
     ap.add_argument("--devices", type=int, default=8)
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--map", default=None)
-    ap.add_argument("--out", default="MULTICHIP_SCALE_r04.json")
+    ap.add_argument("--out", default="MULTICHIP_SCALE_r05.json")
     ap.add_argument("--tpu", action="store_true")
     args = ap.parse_args()
 

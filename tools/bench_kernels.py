@@ -1,4 +1,4 @@
-"""Per-kernel speed-of-light benchmark on the TPU chip -> KERNELS_r04.json.
+"""Per-kernel speed-of-light benchmark on the TPU chip -> KERNELS_r05.json.
 
 BASELINE.md's measurement row asks for "BA and matching kernels at
 speed-of-light per chip". This tool measures every hot kernel at its
@@ -17,7 +17,7 @@ executions, so EVERY repetition perturbs its inputs; one warmup call
 absorbs compile + first-execution overhead; block_until_ready around the
 timed region.
 
-Usage: python tools/bench_kernels.py [--out KERNELS_r04.json] [--reps 20]
+Usage: python tools/bench_kernels.py [--out KERNELS_r05.json] [--reps 20]
 """
 
 from __future__ import annotations
@@ -58,7 +58,7 @@ def timed(fn, make_args, reps: int):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--out", default="KERNELS_r04.json")
+    ap.add_argument("--out", default="KERNELS_r05.json")
     ap.add_argument("--reps", type=int, default=20)
     args = ap.parse_args()
 

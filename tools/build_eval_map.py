@@ -30,7 +30,7 @@ jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default=None)
-    ap.add_argument("--frames", type=int, default=780)
+    ap.add_argument("--frames", type=int, default=1000)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
     if args.cpu:
@@ -48,20 +48,21 @@ def main():
         os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
         "sgslam_tpu", "assets", "eval_map.npz")
 
-    # high-resolution feature budget (1600/view): the scale targets ask
-    # for a map denser than the 1000-feature TUM preset naturally builds
+    # LIVE map size is bounded by distinct trackable geometry x feature
+    # budget, not sequence length (laps feed duplicate-fusion, keyframe-
+    # culling, and the found/visible point cull; corridors break the
+    # outward-facing tracker). The recipe that measures best: the close
+    # 11x16 m hall at wall distance 3-5 m (sharp texture -> dense
+    # matching), 2048 features/frame, just under ONE lap (revisits trigger the visible-not-found point cull and duplicate fusion: 1.3 laps measured 11.9k pts, 1.55 laps 7.2k), and a
+    # prop ring for localized structure (raises surviving keyframes).
     cfg = config.synthetic_config(
         width=640, height=480,
-        orb=config.OrbConfig(n_features=1600, max_keypoints=1664),
+        orb=config.OrbConfig(n_features=2048, max_keypoints=2176),
         tracker=config.TrackerConfig(max_frames_between_kf=2,
                                      depth_threshold_factor=150.0),
         capacity=config.MapCapacity(max_keyframes=288, max_points=32768,
                                     local_window=16, local_points=4096))
     n = args.frames
-    # a LARGE closed hall (~5x the wall area of ROOM_CLOSED) walked on a
-    # wide circuit: the standard room saturates near 10k distinct points —
-    # the scale target (>=16k points / >=100k observations) needs more
-    # distinct trackable geometry, not more laps over the same walls
     hall = (
         synthetic.Plane(0.0, 0.0, -1.0, -8.0, 1.0),
         synthetic.Plane(0.0, 0.0, 1.0, -8.0, 4.0),
@@ -70,9 +71,30 @@ def main():
         synthetic.Plane(0.0, -1.0, 0.0, -1.0, 2.0),
         synthetic.Plane(0.0, 1.0, 0.0, -1.5, 6.0),
     )
-    poses = synthetic.make_circuit_trajectory(n, radius=3.0, loops=1.3)
+    base = synthetic.make_circuit_trajectory(n, radius=1.0, loops=0.95)
+    s = np.linspace(0.0, 1.0, n, dtype=np.float32)
+    radius = 3.0 + 0.25 * np.sin(2 * np.pi * s)
+    height = 0.2 * np.sin(2 * np.pi * s * 1.1)
+    base = np.asarray(base)
+    t = base[:, 4:7] * radius[:, None]
+    t[:, 1] += height
+    poses = jnp.asarray(np.concatenate([base[:, :4], t], axis=1))
+    rng = np.random.default_rng(3)
+    Q = 36
+    ang = np.linspace(0, 2 * np.pi, Q, endpoint=False)
+    ring_r = rng.uniform(4.4, 5.6, Q)
+    props = np.stack([
+        ring_r * np.sin(ang),                       # cx
+        rng.uniform(-0.6, 1.1, Q),                  # cy
+        ring_r * np.cos(ang) - 2.0,                 # cz (hall is z-offset)
+        rng.uniform(0.22, 0.45, Q),                 # half_w
+        rng.uniform(0.25, 0.5, Q),                  # half_h
+        rng.integers(1, 10, Q).astype(np.float64),  # cls (texture family)
+        rng.uniform(3.0, 40.0, Q),                  # seed
+    ], axis=1).astype(np.float32)
     seq = synthetic.SyntheticSequence(cfg.camera, n_frames=n,
-                                      planes=hall, poses=poses)
+                                      planes=hall, poses=poses,
+                                      props=props)
     ct = scan_pipeline.ChunkedTracker(cfg, chunk=4, fetch_every=6)
     i = 0
     while ct._carry is None and i < n:

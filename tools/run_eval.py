@@ -44,6 +44,8 @@ import numpy as np
 
 STATIC_GATE = 0.03
 DYNAMIC_GATE = 0.05
+STEREO_GATE = 0.04     # stereo depth = epipolar SAD search (quantized /
+                       # noisier than the RGB-D sensor's metric depth)
 PARITY_REL = 0.2
 PARITY_ABS = 0.01      # 1 cm absolute floor: at 1-3 cm ATEs, sub-cm
                        # path differences are run-to-run noise
@@ -75,6 +77,7 @@ def _sequences(quick: bool):
 
     n1, n2, n3, n4, n5, n6 = (140, 120, 160, 150, 200, 240) if not quick \
         else (48, 40, 54, 50, 66, 80)
+    n7 = 120 if not quick else 40
     seqs = {}
     # fast-rotation walk (~2 deg/frame peak yaw = 60 deg/s at 30 FPS)
     seqs["static_640_walk_fastrot"] = dict(
@@ -108,6 +111,14 @@ def _sequences(quick: bool):
         poses=synthetic.make_circuit_trajectory(n5, loops=1.15),
         people=synthetic.walker_tracks(n5, 2, depth0=1.9, half_h=0.50),
         n=n5)
+    # rectified STEREO walk: depth from the epipolar SAD search instead of
+    # the RGB-D sensor, through System::TrackStereo AND the chunked stereo
+    # tracker (Tracking.h:67-69 lists all three entry points; stereo was
+    # previously smoke-tested only)
+    seqs["stereo_640_walk"] = dict(
+        kind="stereo", distort=False, planes=synthetic.ROOM,
+        poses=synthetic.make_walk_trajectory(n7, yaw_amp=0.25),
+        people=None, n=n7)
     # STRESS (reported, chunked not gated): 2.15 laps at sustained
     # ~3.2 deg/frame (96 deg/s) — beyond the reference's hand-held class.
     # The System path is gated; the chunked path's multi-lap repeated-
@@ -126,7 +137,10 @@ def _render(cfg, spec):
     seq = synthetic.SyntheticSequence(
         cfg.camera, n_frames=spec["n"], planes=spec["planes"],
         poses=spec["poses"], people=spec["people"])
-    frames = [seq.frame(i) for i in range(spec["n"])]
+    if spec["kind"] == "stereo":
+        frames = [seq.frame_stereo(i)[:2] for i in range(spec["n"])]
+    else:
+        frames = [seq.frame(i) for i in range(spec["n"])]
     jax.block_until_ready(frames)
     return seq, frames
 
@@ -171,6 +185,9 @@ def _run_system(cfg, spec, frames, seq, detector):
         s.detector = None
     t0 = time.perf_counter()
     for i in range(spec["n"]):
+        if spec["kind"] == "stereo":
+            s.track_stereo(frames[i][0], frames[i][1])
+            continue
         g, d = frames[i]
         rgb = jnp.repeat(g[..., None], 3, -1) if semantic else None
         s.track_rgbd(g, d, rgb=rgb)
@@ -191,6 +208,9 @@ def _run_chunked(cfg, spec, frames, seq, detector, chunk=4, fetch_every=6):
         ct = scan_pipeline.ChunkedSemanticTracker(
             cfg, detector, chunk=chunk, fetch_every=fetch_every,
             loop=LoopCloser(cfg))
+    elif spec["kind"] == "stereo":
+        ct = scan_pipeline.ChunkedStereoTracker(
+            cfg, chunk=chunk, fetch_every=fetch_every, loop=LoopCloser(cfg))
     else:
         ct = scan_pipeline.ChunkedTracker(
             cfg, chunk=chunk, fetch_every=fetch_every, loop=LoopCloser(cfg))
@@ -232,6 +252,7 @@ def main():
     results = {"suite": "EVAL_r05", "resolution": "640x480",
                "gates": {"static_ate_m": STATIC_GATE,
                          "dynamic_ate_m": DYNAMIC_GATE,
+                         "stereo_ate_m": STEREO_GATE,
                          "parity": f"|a-b| <= max({PARITY_REL}*max(a,b), "
                                    f"{PARITY_ABS} m)"},
                "sequences": {}}
@@ -254,6 +275,8 @@ def main():
         row["chunked"] = _run_chunked(cfg, spec, frames, seq, detector)
         stress = bool(spec.get("stress"))
         gate = STATIC_GATE if spec["kind"] == "static" else DYNAMIC_GATE
+        if spec["kind"] == "stereo":
+            gate = STEREO_GATE
         if stress:
             gate = 0.05      # beyond-reference-class difficulty
         a, b = row["system"]["ate"], row["chunked"]["ate"]
