@@ -1,7 +1,7 @@
 """Distributed global BA on a REAL tracked map across mesh shapes.
 
 Loads the production-scale tracked map (tools/build_eval_map.py:
->= 128 keyframes / >= 16k points / >= 100k observations), partitions it
+>= 128 keyframes / >= 8k live points / >= 50k observations), partitions it
 with the production glue (parallel/map_partition.distributed_global_ba),
 and for each ('kf' x 'pt') mesh shape records convergence (total
 reprojection chi2 before/after) and wall time per iteration —
