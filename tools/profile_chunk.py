@@ -62,9 +62,11 @@ def main():
     from sgslam_tpu.slam import scan_pipeline, tracking
 
     CHUNK = 4
+    N_WARM = 76
     cfg = config.synthetic_config(width=640, height=480)
-    seq = synthetic.SyntheticSequence(cfg.camera, n_frames=40, dynamic=True)
-    frames = [seq.frame(i) for i in range(40)]
+    seq = synthetic.SyntheticSequence(cfg.camera, n_frames=N_WARM + CHUNK,
+                                      dynamic=True)
+    frames = [seq.frame(i) for i in range(N_WARM + CHUNK)]
     jax.block_until_ready(frames)
 
     detector = Detector2D(cfg.detector)
@@ -75,7 +77,7 @@ def main():
         ct.bootstrap(*frames[i])
         i += 1
     # build up a realistic map: run a few chunks
-    while i + CHUNK <= 36:
+    while i + CHUNK <= N_WARM:
         ct.process_chunk(jnp.stack([frames[j][0] for j in range(i, i + CHUNK)]),
                          jnp.stack([frames[j][1] for j in range(i, i + CHUNK)]))
         i += CHUNK
@@ -94,17 +96,21 @@ def main():
         res[name] = round(t * 1e3, 3)
         print(f"{name}: {t*1e3:.2f} ms", file=sys.stderr)
 
-    # full chunk, keyframes allowed (the production dispatch)
+    # full chunk, keyframes allowed (the production dispatch). The chunk
+    # program DONATES the map argument, so every rep feeds a fresh copy
+    # (made in make_args, outside the timed region).
     fn = ct._fn
-    t = timed(lambda g, d: fn(params, m, carry, g, d,
-                              jnp.asarray(CHUNK, jnp.int32)),
-              lambda r: (g4 + 1e-4 * r, d4), args.reps)
+    t = timed(lambda mm, g, d: fn(params, mm, carry, g, d,
+                                  jnp.asarray(CHUNK, jnp.int32)),
+              lambda r: (jax.tree.map(jnp.copy, m), g4 + 1e-4 * r, d4),
+              args.reps)
     row("chunk4_full_kf_allowed", t)
 
     # full chunk, keyframe flagging suppressed (n_live=0): tracking only
-    t = timed(lambda g, d: fn(params, m, carry, g, d,
-                              jnp.asarray(0, jnp.int32)),
-              lambda r: (g4 + 1e-4 * r, d4), args.reps)
+    t = timed(lambda mm, g, d: fn(params, mm, carry, g, d,
+                                  jnp.asarray(0, jnp.int32)),
+              lambda r: (jax.tree.map(jnp.copy, m), g4 + 1e-4 * r, d4),
+              args.reps)
     row("chunk4_no_kf", t)
 
     # batched extraction alone
@@ -117,9 +123,10 @@ def main():
     from sgslam_tpu.semantic.dynamic import Boxes
 
     fn_nodet = scan_pipeline.make_track_chunk(cfg, None, semantic=False)
-    t = timed(lambda g, d: fn_nodet(None, m, carry, g, d,
-                                    jnp.asarray(0, jnp.int32)),
-              lambda r: (g4 + 1e-4 * r, d4), args.reps)
+    t = timed(lambda mm, g, d: fn_nodet(None, mm, carry, g, d,
+                                        jnp.asarray(0, jnp.int32)),
+              lambda r: (jax.tree.map(jnp.copy, m), g4 + 1e-4 * r, d4),
+              args.reps)
     row("chunk4_no_kf_no_det_no_sem", t)
 
     # one track_step (sequential core unit)
