@@ -12,12 +12,18 @@ CHIP in the same session:
   * for each kernel we estimate FLOPs (or bit-ops) and bytes moved, then
     report %-of-roofline on the binding resource.
 
-Methodology (see memory notes / axon tunnel): the tunnel caches identical
-executions, so EVERY repetition perturbs its inputs; one warmup call
-absorbs compile + first-execution overhead; block_until_ready around the
-timed region.
+Methodology (hard-won): under the axon tunnel `jax.block_until_ready`
+does NOT actually block (executions are pipelined; single-dispatch
+timings are async illusions — a naive version of this tool "measured"
+3.8 PFLOP/s). Every kernel therefore runs K times INSIDE one jitted
+program under `lax.fori_loop`, serialized by a data dependency (the
+running checksum perturbs the next iteration's input, which also defeats
+any result caching), and the program's scalar checksum is fetched with a
+host read — the only operation that truly synchronizes. Per-kernel
+time = (wall - round_trip_floor) / K, with the floor measured on a
+trivial program in the same session.
 
-Usage: python tools/bench_kernels.py [--out KERNELS_r05.json] [--reps 20]
+Usage: python tools/bench_kernels.py [--out KERNELS_r05.json] [--reps 5]
 """
 
 from __future__ import annotations
@@ -41,61 +47,100 @@ import jax.numpy as jnp
 import numpy as np
 
 
-def timed(fn, make_args, reps: int):
-    """Median wall seconds over `reps` calls with per-rep perturbed args."""
-    out = fn(*make_args(0))
-    jax.block_until_ready(out)          # compile + warm
+def chk(x):
+    """f32 scalar checksum of an arbitrary pytree."""
+    return sum(jnp.sum(leaf.astype(jnp.float32))
+               for leaf in jax.tree.leaves(x))
+
+
+def measure(kernel_fn, perturb_fn, args0, K: int, reps: int, floor_s: float):
+    """True per-execution seconds of `kernel_fn`.
+
+    Builds jit(fori_loop(K, kernel)) where iteration i runs the kernel on
+    inputs perturbed by the running checksum (serializing the chain), then
+    host-reads the final scalar.
+    """
+
+    def program(args, seed):
+        def body(_, carry):
+            s, a = carry
+            out = kernel_fn(*a)
+            s2 = chk(out) * 1e-30 + s
+            return (s2, perturb_fn(a, s2))
+
+        s, _ = jax.lax.fori_loop(0, K, body, (seed, args))
+        return s
+
+    prog = jax.jit(program)
+    float(prog(args0, jnp.float32(0.0)))           # compile + warm
     ts = []
-    for r in range(1, reps + 1):
-        a = make_args(r)
-        jax.block_until_ready(a)
+    for r in range(reps):
         t0 = time.perf_counter()
-        out = fn(*a)
-        jax.block_until_ready(out)
+        float(prog(args0, jnp.float32(r + 1)))     # host read = real sync
         ts.append(time.perf_counter() - t0)
-    return float(np.median(ts))
+    return max((float(np.median(ts)) - floor_s) / K, 1e-9)
 
 
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="KERNELS_r05.json")
-    ap.add_argument("--reps", type=int, default=20)
+    ap.add_argument("--reps", type=int, default=5)
+    ap.add_argument("--k", type=int, default=8,
+                    help="kernel executions per timed program")
     args = ap.parse_args()
 
     from sgslam_tpu import config
     from sgslam_tpu.io import synthetic
     from sgslam_tpu.matching import hamming
-    from sgslam_tpu.mapstate import local_map as lm
-    from sgslam_tpu.mapstate import mapstate as ms
     from sgslam_tpu.optim import local_ba, pose_graph
-    from sgslam_tpu.ops import orb
+    from sgslam_tpu.ops import orb, pallas_hamming
 
     cfg = config.synthetic_config(width=640, height=480)
     cam = cfg.camera
     rng = np.random.default_rng(0)
+    K = args.k
     results = {"platform": jax.devices()[0].platform,
                "device": str(jax.devices()[0]),
-               "method": "roofline calibrated on-chip: bf16 GEMM peak + "
-                         "HBM stream bandwidth; per-kernel median wall "
-                         "time at production shapes, inputs perturbed "
-                         "per rep (tunnel caches identical executions)",
+               "method": f"each kernel runs {K}x inside one jitted "
+                         "fori_loop serialized by a checksum data "
+                         "dependency; the program's scalar output is "
+                         "host-read (the only true sync under the axon "
+                         "tunnel); per-exec time = (wall - floor)/K with "
+                         "the round-trip floor measured in-session",
                "kernels": {}}
+
+    # ---- round-trip floor: trivial program with a host read -------------
+    tiny = jnp.zeros(128, jnp.float32)
+    fl = jax.jit(lambda x, s: jnp.sum(x) + s)
+    float(fl(tiny, jnp.float32(0.0)))
+    fts = []
+    for r in range(max(args.reps, 8)):
+        t0 = time.perf_counter()
+        float(fl(tiny, jnp.float32(r)))
+        fts.append(time.perf_counter() - t0)
+    floor_s = float(np.median(fts))
+    results["round_trip_floor_ms"] = round(floor_s * 1e3, 2)
+    print(f"round-trip floor: {floor_s*1e3:.1f} ms", file=sys.stderr)
 
     # ---- roofline calibration -------------------------------------------
     M = 4096
     a0 = jnp.asarray(rng.standard_normal((M, M)), jnp.bfloat16)
     b0 = jnp.asarray(rng.standard_normal((M, M)), jnp.bfloat16)
-    mm = jax.jit(lambda a, b: a @ b)
-    t = timed(mm, lambda r: (a0 + jnp.bfloat16(1e-3 * r), b0), args.reps)
+    t = measure(lambda a, b: a @ b,
+                lambda a, s: (a[0] + s.astype(jnp.bfloat16) * 1e-8, a[1]),
+                (a0, b0), K, args.reps, floor_s)
     peak_flops = 2.0 * M ** 3 / t
-    results["roofline"] = {"bf16_gemm_4096_tflops": round(peak_flops / 1e12,
-                                                          2)}
+    results["roofline"] = {
+        "bf16_gemm_4096_tflops": round(peak_flops / 1e12, 2)}
 
     big = jnp.asarray(rng.standard_normal((64, 1024, 1024)), jnp.float32)
-    cp = jax.jit(lambda x: x * 1.0000001 + 1.0)
-    t = timed(cp, lambda r: (big + np.float32(r),), args.reps)
+    t = measure(lambda x: x * 1.0000001 + 1.0,
+                lambda a, s: (a[0] + s * 1e-12,),
+                (big,), K, args.reps, floor_s)
     hbm_bw = 2.0 * big.size * 4 / t          # read + write
     results["roofline"]["hbm_stream_gbps"] = round(hbm_bw / 1e9, 1)
+    print(f"roofline: {peak_flops/1e12:.1f} bf16 TFLOP/s, "
+          f"{hbm_bw/1e9:.0f} GB/s HBM", file=sys.stderr)
 
     def row(name, t_s, flops=None, bytes_moved=None, note=""):
         r = {"wall_ms": round(t_s * 1e3, 3), "note": note}
@@ -113,8 +158,9 @@ def main():
     # ---- ORB extraction at 640x480 --------------------------------------
     g0, _ = synthetic.render_frame(cam, jnp.asarray(
         [1.0, 0, 0, 0, 0, 0, 0], jnp.float32))
-    ext = jax.jit(lambda g: orb.extract(g, cfg.orb, cam))
-    t = timed(ext, lambda r: (jnp.clip(g0 + 1e-4 * r, 0, 1),), args.reps)
+    t = measure(lambda g: orb.extract(g, cfg.orb, cam),
+                lambda a, s: (jnp.clip(a[0] + s * 1e-9, 0, 1),),
+                (g0,), K, args.reps, floor_s)
     # pyramid 8 levels (~1.9x pixels), FAST 16-point test + score,
     # blur 7x7, IC_Angle + 256-pair BRIEF per kp: dominated by dense maps
     px = 640 * 480 * 1.9
@@ -127,24 +173,23 @@ def main():
     d1 = jnp.asarray(rng.integers(0, 2 ** 32, (4096, 8)), jnp.uint32)
     d2 = jnp.asarray(rng.integers(0, 2 ** 32, (1024, 8)), jnp.uint32)
 
-    def perturb(d, r):
-        return d.at[0, 0].set(jnp.uint32(r))
-
-    from sgslam_tpu.ops import pallas_hamming
+    def perturb_u32(a, s):
+        return (a[0].at[0, 0].set(s.astype(jnp.uint32) & jnp.uint32(31)),
+                a[1])
 
     bitops = 4096 * 1024 * 256 * 2            # xor+popcount per bit pair
-    fn_fast = jax.jit(pallas_hamming.hamming_matrix_mxu)
-    t = timed(fn_fast, lambda r: (perturb(d1, r), d2), args.reps)
+    t = measure(pallas_hamming.hamming_matrix_mxu, perturb_u32, (d1, d2),
+                K, args.reps, floor_s)
     row("hamming_mxu_bitmatmul_4096x1024", t, bitops / 2,
         4096 * 1024 * 4, "production matcher path (bit-plane matmul); "
         "counting 1 flop per 2 bit-ops")
-    fn_ref = jax.jit(hamming.hamming_matrix_xla)
-    t = timed(fn_ref, lambda r: (perturb(d1, r), d2), args.reps)
+    t = measure(hamming.hamming_matrix_xla, perturb_u32, (d1, d2),
+                K, args.reps, floor_s)
     row("hamming_xla_popcount_4096x1024", t, bitops / 2, 4096 * 1024 * 4,
         "XLA xor+population_count reference")
     try:
-        fn_p = jax.jit(pallas_hamming.hamming_matrix_pallas)
-        t = timed(fn_p, lambda r: (perturb(d1, r), d2), args.reps)
+        t = measure(pallas_hamming.hamming_matrix_pallas, perturb_u32,
+                    (d1, d2), K, args.reps, floor_s)
         row("hamming_pallas_4096x1024", t, bitops / 2, 4096 * 1024 * 4,
             "hand-written Pallas tile kernel")
     except Exception as e:  # pragma: no cover
@@ -152,6 +197,8 @@ def main():
             "error": str(e)[:200]}
 
     # ---- local BA Schur step at the production window shape --------------
+    import dataclasses as dc
+
     C, N, P = 24, 1024, 4096
     pose0 = jnp.tile(jnp.asarray([1.0, 0, 0, 0, 0, 0, 0], jnp.float32),
                      (C, 1))
@@ -163,43 +210,43 @@ def main():
     prob0 = local_ba.BAProblem(
         poses=pose0, opt_mask=jnp.ones(C, bool).at[0].set(False),
         points=pts, obs_pt=obs_pt, obs_uvr=uvr, obs_w=w)
-    ba = jax.jit(lambda p: local_ba.bundle_adjust(
-        cam, p, iters1=cfg.tracker.local_ba_iters1,
-        iters2=cfg.tracker.local_ba_iters2))
-
-    def mk_ba(r):
-        import dataclasses as dc
-
-        return (dc.replace(prob0, points=pts + 1e-4 * r),)
-
-    t = timed(ba, mk_ba, max(args.reps // 2, 5))
     iters = cfg.tracker.local_ba_iters1 + cfg.tracker.local_ba_iters2
-    # dominant term: one-hot contractions [C*N, P] x3 per iteration (bf16)
-    flops_ba = iters * 3 * 2 * C * N * P * 9
-    row(f"local_ba_schur_C{C}_N{N}_P{P}_{iters}it", t, flops_ba,
-        iters * (C * N * P * 2 // 8),
-        "one-hot-matmul Schur BA, full production schedule")
+    t = measure(
+        lambda p: local_ba.bundle_adjust(
+            cam, p, iters1=cfg.tracker.local_ba_iters1,
+            iters2=cfg.tracker.local_ba_iters2),
+        lambda a, s: (dc.replace(a[0], points=a[0].points + s * 1e-9),),
+        (prob0,), max(K // 2, 2), args.reps, floor_s)
+    # dominant term: the fused one-hot contraction [C*N, P] x 30 per iter
+    # (bf16); budget counted even though the early exit may stop sooner
+    flops_ba = iters * 2 * C * N * P * 30
+    row(f"local_ba_schur_C{C}_N{N}_P{P}_{iters}it_budget", t, flops_ba,
+        iters * (C * N * P * 2),
+        "one-hot-matmul Schur BA, production budget (early exit may "
+        "finish in fewer iterations; flops/bytes assume the full budget)")
 
     # ---- pose-graph GN at full keyframe capacity -------------------------
-    K = 256
+    Kk = 256
     E = 1024
     poses_pg = jnp.tile(jnp.asarray([1.0, 0, 0, 0, 0, 0, 0, 1.0],
-                                    jnp.float32), (K, 1))
-    ei = jnp.asarray(rng.integers(0, K, E), jnp.int32)
-    ej = jnp.asarray(rng.integers(0, K, E), jnp.int32)
+                                    jnp.float32), (Kk, 1))
+    ei = jnp.asarray(rng.integers(0, Kk, E), jnp.int32)
+    ej = jnp.asarray(rng.integers(0, Kk, E), jnp.int32)
     meas = jnp.tile(jnp.asarray([1.0, 0, 0, 0, 0, 0, 0, 1.0], jnp.float32),
                     (E, 1))
     ew = jnp.ones(E, jnp.float32)
-    valid = jnp.ones(K, bool)
-    fixed = jnp.zeros(K, bool).at[0].set(True)
-    pg = jax.jit(lambda p: pose_graph.optimize_pose_graph(
-        p, valid, fixed, ei, ej, meas, ew, iters=40))
-    t = timed(pg, lambda r: (poses_pg.at[1, 4].add(1e-4 * r),),
-              max(args.reps // 2, 5))
+    valid = jnp.ones(Kk, bool)
+    fixed = jnp.zeros(Kk, bool).at[0].set(True)
+    t = measure(
+        lambda p: pose_graph.optimize_pose_graph(
+            p, valid, fixed, ei, ej, meas, ew, iters=40),
+        lambda a, s: (a[0].at[1, 4].add(s * 1e-9),),
+        (poses_pg,), 1, args.reps, floor_s)
     # dense solve dominates: 40 iters x (1/3)(7K)^3 flops
-    flops_pg = 40 * ((7 * K) ** 3) // 3
-    row(f"pose_graph_gn_K{K}_E{E}_40it", t, flops_pg, None,
-        "autodiff Sim3 essential-graph GN, dense [7K,7K] solve")
+    flops_pg = 40 * ((7 * Kk) ** 3) // 3
+    row(f"pose_graph_gn_K{Kk}_E{E}_40it", t, flops_pg, None,
+        "autodiff Sim3 essential-graph GN, dense [7K,7K] solve "
+        "(loop-closure path only, not per-frame)")
 
     with open(args.out, "w") as f:
         json.dump(results, f, indent=1)
