@@ -164,10 +164,14 @@ class LoopConfig:
     # run full-map BA after essential-graph correction, the contract of
     # LoopClosing::RunGlobalBundleAdjustment (LoopClosing.cc:575-579,645-749)
     run_global_ba: bool = True
-    # the reference runs GlobalBundleAdjustemnt(10) of g2o LM; our adaptive
-    # LM needs a larger budget for the same convergence (rejected steps
-    # consume iterations), and the slice-resume machinery amortizes it
-    global_ba_iters: int = 30
+    # GlobalBundleAdjustemnt(10), matching the reference's budget. A 30-
+    # iteration budget was measured to actively ERODE essential-graph
+    # corrections (GBA is reprojection-only; the observation mass of a
+    # freshly-closed map is still largely consistent with the pre-closure
+    # drift, so every extra iteration bows the corrected arc back:
+    # injected-drift fixture 0.054 -> 0.067 @10 -> 0.088 @30). The slice-
+    # resume machinery still covers configs that raise this.
+    global_ba_iters: int = 10
 
 
 @dataclasses.dataclass(frozen=True)

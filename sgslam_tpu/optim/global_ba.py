@@ -51,8 +51,13 @@ def global_ba_step(cfg: SlamConfig, m: ms.MapState, *,
         cfg.camera, m, kf_ids, opt_mask,
         max_points=cfg.capacity.max_points,
         scale_factor=cfg.orb.scale_factor)
+    # tol=0: global BA always runs its full slice budget — the
+    # interruptible slicing machinery owns the iteration count, and the
+    # post-loop correction quality depends on every budgeted iteration
+    # (the hot-path early exit measurably under-corrects injected drift)
     poses, points, inlier = local_ba.bundle_adjust(
-        cfg.camera, prob, iters1=iters // 2, iters2=iters - iters // 2)
+        cfg.camera, prob, iters1=iters // 2, iters2=iters - iters // 2,
+        tol=0.0)
     return lm.writeback_ba(m, kf_ids, opt_mask, poses, pids, points)
 
 

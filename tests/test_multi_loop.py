@@ -11,8 +11,9 @@ region back toward its drifted shape.
 Scenario: a camera walks 2.15 circuits of the closed room. Drift is
 injected before each revisit (lap 1 and lap 2), so each lap forces a loop
 closure. Gates: both loops fire, the persistent edge list carries the first
-edge into the second correction, and the final keyframe ATE does not
-regress versus the post-first-closure ATE.
+edge into the second correction, the second closure measurably corrects the
+second drift, and the lap-1 keyframes (untouched by the second injection)
+are NOT bent back by the second correction.
 """
 
 import jax
@@ -66,8 +67,13 @@ def _inject_drift(tracker, xi=DRIFT_XI, start_kf: int = 0):
                                        se3.se3_inverse(d_last))
 
 
-def _kf_ate(m, gt_poses_wc):
+def _kf_ate(m, gt_poses_wc, only_kf_below: int | None = None):
+    """Keyframe ATE, optionally restricted to slots < only_kf_below
+    (lap-1 keyframes, for the does-the-second-closure-unwind-lap-1
+    measurement)."""
     valid = np.asarray(m.kf_valid)
+    if only_kf_below is not None:
+        valid = valid & (np.arange(len(valid)) < only_kf_below)
     fids = np.asarray(m.kf_frame_id)[valid]
     est_wc = np.stack([np.asarray(se3.se3_inverse(p))
                        for p in np.asarray(m.kf_pose)[valid]])
@@ -99,20 +105,25 @@ def two_loop_run():
             kf_at_first_loop = s.loop.loops_closed[0][0]
             _inject_drift(s.tracker, start_kf=kf_at_first_loop)
             ate_drifted2 = _kf_ate(s.tracker.map, poses)
+            ate_lap1_at_drift2 = _kf_ate(s.tracker.map, poses,
+                                         only_kf_below=kf_at_first_loop)
         g, d = seq.frame(i)
         s.track_rgbd(g, d)
     ate_final = _kf_ate(s.tracker.map, poses)
-    return s, n_loops_at_drift2, ate_after_first, ate_drifted2, ate_final
+    ate_lap1_final = _kf_ate(s.tracker.map, poses,
+                             only_kf_below=kf_at_first_loop)
+    return (s, n_loops_at_drift2, ate_after_first, ate_drifted2, ate_final,
+            ate_lap1_at_drift2, ate_lap1_final)
 
 
 def test_both_loops_fire(two_loop_run):
-    s, n_at_drift2, _, _, _ = two_loop_run
+    s, n_at_drift2, _, _, _, _, _ = two_loop_run
     assert len(s.loop.loops_closed) > n_at_drift2, (
         "second loop never closed")
 
 
 def test_first_edge_persists_into_second_correction(two_loop_run):
-    s, _, _, _, _ = two_loop_run
+    s, _, _, _, _, _, _ = two_loop_run
     assert len(s.loop.loop_edges) >= 2, (
         f"persistent loop-edge list should carry every closure: "
         f"{s.loop.loop_edges}")
@@ -124,28 +135,31 @@ def test_first_edge_persists_into_second_correction(two_loop_run):
 
 
 def test_second_closure_does_not_regress_first(two_loop_run):
-    s, _, ate_after_first, ate_drifted2, ate_final = two_loop_run
+    (s, _, ate_after_first, ate_drifted2, ate_final,
+     ate_lap1_at_drift2, ate_lap1_final) = two_loop_run
     # the second closure must (a) measurably correct the SECOND drift and
-    # (b) leave the first closure's work bounded — never the catastrophic
-    # unwinding a single-loop-edge graph permits (a second optimization
-    # without the first's persisted edge can bend lap 1 fully back,
-    # ate_final >> ate_drifted2)
+    # (b) never unwind the FIRST closure's region — the catastrophic
+    # failure a single-loop-edge graph permits (without the persisted
+    # first edge, the second optimization is free to bend lap 1 fully
+    # back). (b) is measured DIRECTLY on the lap-1 keyframes (untouched
+    # by the second injection): their ATE must stay bounded through the
+    # second correction. A relative final-vs-after_first gate was
+    # deliberately NOT used: it punishes making the first correction
+    # better (a smaller after_first halves the allowance while the
+    # second closure's outcome is unchanged).
     assert ate_drifted2 > 1.3 * ate_after_first, (
         f"fixture: second injection too small ({ate_drifted2:.3f} vs "
         f"{ate_after_first:.3f})")
-    # second-closure correction quality on an already-patchwork map is a
-    # known improvement area (see PROGRESS notes); the hard property here
-    # is that it never makes the drifted state WORSE
     assert ate_final < 0.95 * ate_drifted2, (
         f"second closure did not correct: {ate_drifted2:.3f} -> "
         f"{ate_final:.3f}")
-    assert ate_final < 2.0 * ate_after_first, (
-        f"second closure regressed the map: ATE {ate_after_first:.3f} -> "
-        f"{ate_final:.3f}")
+    assert ate_lap1_final < max(1.6 * ate_lap1_at_drift2, 0.08), (
+        f"second closure unwound the first closure's region: lap-1 ATE "
+        f"{ate_lap1_at_drift2:.3f} -> {ate_lap1_final:.3f}")
 
 
 def test_map_finite_after_two_corrections(two_loop_run):
-    s, _, _, _, _ = two_loop_run
+    s, _, _, _, _, _, _ = two_loop_run
     m = s.tracker.map
     assert bool(jnp.all(jnp.isfinite(m.kf_pose)))
     assert bool(jnp.all(jnp.isfinite(m.pt_pos)))
