@@ -422,6 +422,10 @@ class _ChunkRunnerBase:
         self._ref_pose_ins = np.asarray(se3.se3_identity())
         self._want_compact = False
         self._world_corrected = False
+        # first frame whose recorded pose predates a correction installed
+        # this window (the closure keyframe's frame id): the drain replays
+        # the seam frames against the corrected map before finalizing
+        self._seam_frame = -1
         self.loops_closed = 0
         self.relocs = 0
         # raw per-frame poses + reference-KF anchors for retro-correction
@@ -522,6 +526,7 @@ class _ChunkRunnerBase:
             return
         recs = self._inflight
         self._inflight = []
+        win_start = len(self.trajectory)
         # ONE packed transfer for everything the host must look at
         packed_np = jax.device_get([r[0] for r in recs])
         tail_lost = False
@@ -570,6 +575,13 @@ class _ChunkRunnerBase:
             # above, keep the old-world anchor their raw poses are
             # consistent with)
             self._reanchor_after_corrections()
+            # ... and the SEAM frames (tracked on the pre-fusion duplicated
+            # revisit structure) are re-tracked against the corrected map
+            # while the window's images are still in hand
+            tl = self._replay_seam(recs, win_start)
+            if tl is not None:
+                tail_lost = tl
+        self._seam_frame = -1
         # resume an aborted post-loop global BA: the full remainder on an
         # idle drain, a bounded non-abortable slice otherwise — GBA makes
         # guaranteed progress even when keyframes keep arriving (the
@@ -614,6 +626,16 @@ class _ChunkRunnerBase:
         self.loops_closed += 1
         self._world_corrected = True
         self._map = corrected
+        # seam start = the closure keyframe's frame: frames tracked at or
+        # after it used the PRE-fusion duplicated revisit structure, so
+        # their recorded poses mix the two copies (measured up to ~0.16 m
+        # relative error on a 0.03 m-class sequence) — the window-end
+        # replay re-tracks them on the corrected map
+        if self.loop is not None and self.loop.loops_closed:
+            cur_slot = self.loop.loops_closed[-1][0]
+            f0 = int(np.asarray(corrected.kf_frame_id[cur_slot]))
+            self._seam_frame = (f0 if self._seam_frame < 0
+                                else min(self._seam_frame, f0))
 
     def _reanchor_after_corrections(self):
         """Window-end carry re-anchoring after >=1 loop corrections:
@@ -631,6 +653,105 @@ class _ChunkRunnerBase:
         self._carry = dataclasses.replace(
             self._carry, Tcw=se3.se3_compose(self._carry.Tcw, delta))
         self._ref_pose_ins = np.asarray(ref_now)
+
+    def _replay_seam(self, recs, win_start: int):
+        """Re-track the post-closure seam frames on the corrected map.
+
+        Frames tracked at or after the closure keyframe associated against
+        the PRE-fusion map, where the revisited structure exists twice
+        (the drifted original + the fresh duplicates); their poses mix the
+        two copies and no rigid re-anchoring can fix that (measured up to
+        ~0.16 m relative error with healthy inlier counts). The per-frame
+        reference path avoids this by closing immediately; the chunked
+        path can do one better — the drain still HOLDS the window's
+        images, so the seam frames are simply re-run through the chunk
+        program against the corrected+fused map (keyframe flagging
+        suppressed), replacing their recorded poses, inlier counts, and
+        anchors, and refreshing the live carry. Cost: at most
+        `fetch_every` extra chunk dispatches per loop closure.
+
+        Returns the replayed tail frame's lost flag when the replay
+        reached the window's end, else None.
+        """
+        if self._seam_frame < 0:
+            return None
+        c = self.chunk
+        n_frames = len(self.trajectory) - win_start
+        replay_from = max(self._seam_frame, win_start)
+        k0 = max((replay_from - win_start) // c, 0)
+        b0 = win_start + k0 * c
+        if b0 < 2:
+            return None     # no pre-seam pose to seed the carry from
+        kf_pose_np = np.asarray(self._map.kf_pose)
+        kf_valid_np = np.asarray(self._map.kf_valid)
+
+        def corrected_pose(f):
+            """Recorded pose of frame f, re-anchored into the corrected
+            world (exact for pre-seam frames)."""
+            T = jnp.asarray(self.trajectory[f])
+            ref = self._traj_ref[f]
+            if ref < 0 or not kf_valid_np[ref]:
+                return T
+            ri = jnp.asarray(self._traj_refpose[f])
+            rn = jnp.asarray(kf_pose_np[ref])
+            return se3.se3_compose(
+                se3.se3_compose(T, se3.se3_inverse(ri)), rn)
+
+        T1 = corrected_pose(b0 - 1)
+        T2 = corrected_pose(b0 - 2)
+        carry = TrackCarry(
+            Tcw=T1,
+            velocity=se3.se3_compose(T1, se3.se3_inverse(T2)),
+            # keyframe flagging is suppressed (n_live=0), so the KF-policy
+            # fields are inert during the replay; the live values are
+            # restored onto the final carry below
+            since_kf=jnp.asarray(0, jnp.int32),
+            ref_matches=jnp.asarray(200, jnp.int32),
+            frame_id=jnp.asarray(b0, jnp.int32),
+            # chunk k0-1's last culled features stand in for the raw block
+            # (only the FIRST replayed frame's dynamic-rejection flow uses
+            # it; the culled set differs from raw by the removed dynamic
+            # features, which are exactly the ones flow should not use)
+            prev_feats=recs[k0 - 1][1] if k0 > 0 else recs[k0][1],
+            prev_boxes=Boxes.empty(self.cfg.detector.max_boxes),
+            key=jax.random.PRNGKey(b0))
+        params = self.detector.params if self.detector is not None else None
+        m = jax.tree.map(jnp.copy, self._map)   # the chunk fn donates it
+        outs = []
+        for k in range(k0, len(recs)):
+            m, carry, packed, feats_last, _, _ = self._fn(
+                params, m, carry, recs[k][4], recs[k][5],
+                jnp.asarray(0, jnp.int32))
+            outs.append(packed)
+        outs = jax.device_get(outs)
+
+        ref_slot = self._ref_slot
+        ref_now = (np.asarray(kf_pose_np[ref_slot]) if ref_slot >= 0
+                   else np.asarray(se3.se3_identity()))
+        hist_off = len(self.trajectory) - len(self.n_inliers_hist)
+        tail_lost = None
+        for k, pk in zip(range(k0, len(recs)), outs):
+            cc = pk.shape[0] - 1
+            base = win_start + k * c
+            for j in range(cc):
+                f = base + j
+                if f < replay_from or f >= len(self.trajectory):
+                    continue
+                self.trajectory[f] = pk[j, :7].astype(np.float32)
+                self._traj_ref[f] = ref_slot
+                self._traj_refpose[f] = ref_now
+                inl = int(pk[j, 7])
+                lost = inl < self.cfg.tracker.min_inliers_local_map
+                self.n_inliers_hist[f - hist_off] = inl
+                self.frame_lost[f] = lost
+                if f == win_start + n_frames - 1:
+                    tail_lost = lost
+        # the replayed carry is the corrected-world live state (fresher
+        # than the rigid re-anchoring); keep the real KF-policy counters
+        self._carry = dataclasses.replace(
+            carry, since_kf=self._carry.since_kf,
+            ref_matches=self._carry.ref_matches)
+        return tail_lost
 
     def _try_relocalize(self, feats_last):
         T, n = self.loop.relocalize(self._map, feats_last)
@@ -650,6 +771,8 @@ class _ChunkRunnerBase:
             self._install_correction(self.loop.flush(self._map))
             if self._world_corrected:
                 self._reanchor_after_corrections()
+            # a correction at flush time has no in-hand window to replay
+            self._seam_frame = -1
 
     flush_keyframes = flush
 

@@ -184,7 +184,7 @@ def local_ba_cov_step(cfg: SlamConfig, m: ms.MapState, center_kf, cov):
                                      scale_factor=cfg.orb.scale_factor)
     poses, points, inlier = local_ba.bundle_adjust(
         cfg.camera, prob, iters1=cfg.tracker.local_ba_iters1,
-        iters2=cfg.tracker.local_ba_iters2, tol=3e-5)
+        iters2=cfg.tracker.local_ba_iters2)
     return lm.writeback_ba(m, ids, opt_mask, poses, pids, points)
 
 
